@@ -1,0 +1,120 @@
+"""Crawl configuration: the reference's WebCrawlerConfig.json shape.
+
+Mirrors crawler/CrawlerProperties.java: config fields (:31-67), per-URL rule
+resolution via *full-match* regex (``getContentRules``, :210-228 — note
+``String.matches`` full-match semantics, unlike the include/exclude filters'
+``find()``), matchAll flag resolution (``matchAllByUrl``, :189-195), and rule
+construction (``buildRules``, :260-280). Defaults follow
+``src/main/resources/WebCrawlerConfig.json:1-27``.
+
+The config is a small driver-side object, broadcast into pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from .kernel.rules import Rule, build_rules
+
+
+@dataclass
+class PageConfig:
+    url_pattern: str
+    match_all: bool = False
+    content_rules: Optional[dict] = None
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 2
+    include_url_patterns: List[str] = field(default_factory=list)
+    exclude_url_patterns: List[str] = field(default_factory=list)
+    user_agent: str = "SparkCrawler/0.1"
+    request_timeout_ms: int = 10000
+    queue_namespace: str = "crawler"
+    index_prefix: Optional[str] = None
+    content_rules: Optional[dict] = None       # generic rules config
+    pages: List[PageConfig] = field(default_factory=list)
+    # engine-only extensions (reference README design, not in its code):
+    per_host_budget: Optional[int] = None      # politeness: URLs/host/round
+    obey_robots: bool = False
+
+    def __post_init__(self) -> None:
+        self._generic_rules: List[Rule] = build_rules(self.content_rules)
+        self._page_rules = {}
+        for p in self.pages:
+            if p and p.url_pattern:
+                self._page_rules[p.url_pattern] = build_rules(p.content_rules)
+
+    # -- rule resolution ------------------------------------------------------
+    def get_content_rules(self, url: Optional[str]) -> List[Rule]:
+        """First page whose urlPattern fully matches wins; else generic rules
+        (CrawlerProperties.java:210-228). Invalid patterns skipped."""
+        if url is None or url.strip() == "":
+            return self._generic_rules
+        for p in self.pages:
+            if p is None or not p.url_pattern or p.url_pattern.strip() == "":
+                continue
+            try:
+                if re.fullmatch(p.url_pattern, url):
+                    rules = self._page_rules.get(p.url_pattern)
+                    if rules is not None:
+                        return rules
+            except re.error:
+                continue
+        return self._generic_rules
+
+    def match_all_by_url(self, url: Optional[str]) -> bool:
+        """Any page pattern fully matching with matchAll=True
+        (CrawlerProperties.java:189-195)."""
+        if url is None or url.strip() == "" or not self.pages:
+            return False
+        for p in self.pages:
+            try:
+                if p.match_all and re.fullmatch(p.url_pattern, url):
+                    return True
+            except re.error:
+                continue
+        return False
+
+    # -- (de)serialization ------------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: dict) -> "CrawlConfig":
+        pages = [
+            PageConfig(
+                url_pattern=p.get("urlPattern", ""),
+                match_all=bool(p.get("matchAll", False)),
+                content_rules=p.get("contentRules"),
+            )
+            for p in d.get("pages", []) or []
+        ]
+        return cls(
+            max_depth=d.get("maxDepth", 2),
+            include_url_patterns=d.get("includeUrlPatterns", []) or [],
+            exclude_url_patterns=d.get("excludeUrlPatterns", []) or [],
+            user_agent=d.get("userAgent", "SparkCrawler/0.1"),
+            request_timeout_ms=d.get("requestTimeoutMs", 10000),
+            queue_namespace=d.get("queueNamespace", "crawler"),
+            index_prefix=d.get("indexPrefix"),
+            content_rules=d.get("contentRules"),
+            pages=pages,
+            per_host_budget=d.get("perHostBudget"),
+            obey_robots=bool(d.get("obeyRobotsTxt", False)),
+        )
+
+    @classmethod
+    def from_json(cls, path: str) -> "CrawlConfig":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+
+def index_name(index_prefix: Optional[str], tenant_id: Optional[str]) -> Optional[str]:
+    """CrawlerUtils.getIndexName (util/CrawlerUtils.java:27-35):
+    prefix + '-' + tenant; null/blank prefix -> None; blank tenant -> 'default'."""
+    if index_prefix is None or index_prefix.strip() == "":
+        return None
+    tenant = tenant_id if tenant_id is not None and tenant_id.strip() != "" else "default"
+    return f"{index_prefix}-{tenant}"
