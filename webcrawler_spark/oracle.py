@@ -1,0 +1,193 @@
+"""Sequential reference oracle: a pure-Python, single-threaded reimplementation
+of the reference crawler's exact semantics, used as the golden for the Spark
+engine's distributed equivalents.
+
+Semantics mirrored:
+- BFS traversal with FIFO deque + visited set, maxDepth guard, harvest-only at
+  maxDepth, entry-enqueue-only-with-processor — service/CrawlerService.java:94-168.
+- LinkQueue enqueue-with-dedup + retention (seen set never shrinks) —
+  crawler/InMemoryLinkQueue.java:33-52, crawler/LinkQueue.java:14-24.
+- Processor doc assembly — processor/WebPageProcessor.java:142-227 (fetch
+  missing -> ERROR_FETCH row; title, per-URL rule resolution, matchAll flag,
+  extracted segments, contents hash, content length; id = sha256(url) per the
+  reference README's designed id).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+from .config import CrawlConfig
+from .kernel.extract import extract_page
+from .kernel.filters import compile_patterns, is_accepted
+from .kernel.hashing import compute_hash_segments, content_length, sha256_hex
+from .kernel.urlnorm import domain_of, normalize_url
+
+
+@dataclass
+class OracleResult:
+    queue_order: List[str] = field(default_factory=list)   # LinkQueue drain order
+    seen: Set[str] = field(default_factory=set)            # queue dedup set
+    visited: Set[str] = field(default_factory=set)         # traversal dedup set
+    docs: List[dict] = field(default_factory=list)         # processed documents
+    # traversal bookkeeping for the order theorem tests:
+    dequeue_ranks: Dict[str, Tuple[int, int]] = field(default_factory=dict)
+    # url -> (depth, rank_within_depth) at which it was *traversed*
+
+
+class LinkQueueOracle:
+    """InMemoryLinkQueue semantics (crawler/InMemoryLinkQueue.java:33-59)."""
+
+    def __init__(self) -> None:
+        self._queue: deque = deque()
+        self._seen: Set[str] = set()
+
+    def enqueue(self, url: Optional[str]) -> None:
+        if url is None or url.strip() == "":
+            return
+        if url not in self._seen:
+            self._seen.add(url)
+            self._queue.append(url)
+
+    def dequeue(self) -> Optional[str]:
+        return self._queue.popleft() if self._queue else None
+
+    def init(self) -> None:
+        self._queue.clear()
+        self._seen.clear()
+
+    @property
+    def seen(self) -> Set[str]:
+        return set(self._seen)
+
+    def drain(self) -> List[str]:
+        out = []
+        while True:
+            u = self.dequeue()
+            if u is None:
+                return out
+            out.append(u)
+
+
+def crawl_oracle(
+    corpus: Dict[str, str],
+    entry_url: str,
+    config: CrawlConfig,
+    with_processor: bool = True,
+) -> OracleResult:
+    """CrawlerService.crawl + worker consumption, sequentially.
+
+    ``corpus`` maps url -> html string; a missing url behaves as a fetch
+    failure (fetch() -> null in traversal; ERROR_FETCH doc in processing).
+    """
+    res = OracleResult()
+    queue = LinkQueueOracle()
+
+    start = normalize_url(entry_url)
+    if start is None:
+        return res
+
+    max_depth = max(0, config.max_depth)
+    includes = compile_patterns(config.include_url_patterns)
+    excludes = compile_patterns(config.exclude_url_patterns)
+
+    frontier: deque = deque()
+    frontier.append((start, 0))
+    res.visited.add(start)
+    if with_processor:
+        queue.enqueue(start)
+
+    rank_within_depth: Dict[int, int] = {}
+
+    while frontier:
+        url, depth = frontier.popleft()
+        if depth > max_depth:
+            continue
+        r = rank_within_depth.get(depth, 0)
+        rank_within_depth[depth] = r + 1
+        res.dequeue_ranks[url] = (depth, r)
+
+        html = corpus.get(url)  # fetch(); missing/None -> skip silently
+        if html is None:
+            continue
+
+        links = extract_page(html, url).links  # document order, abs-resolved
+
+        if depth == max_depth:
+            # enqueueFilteredLinks (CrawlerService.java:170-179): enqueue only
+            for href, _pos in links:
+                n = normalize_url(href)
+                if n is None:
+                    continue
+                if not is_accepted(n, includes, excludes):
+                    continue
+                queue.enqueue(n)
+            continue
+
+        for href, _pos in links:
+            n = normalize_url(href)
+            if n is None:
+                continue
+            if not is_accepted(n, includes, excludes):
+                continue
+            queue.enqueue(n)  # always enqueue accepted links
+            if n not in res.visited:
+                res.visited.add(n)
+                frontier.append((n, depth + 1))
+
+    res.seen = queue.seen
+    res.queue_order = queue.drain()
+
+    if with_processor:
+        for url in res.queue_order:
+            res.docs.append(process_url_oracle(corpus, url, config))
+    return res
+
+
+def process_url_oracle(corpus: Dict[str, str], url: str, config: CrawlConfig) -> dict:
+    """WebPageProcessor.processUrl (:142-227) against the corpus 'fetch'."""
+    html = corpus.get(url)
+    if html is None:
+        return {
+            "id": None,
+            "url": url,
+            "domain": domain_of(url),
+            "status": "ERROR_FETCH",
+            "http_status": None,
+            "title": None,
+            "contents": None,
+            "content_length": 0,
+            "out_links": None,
+            "hash": compute_hash_segments(url, None),
+            "crawl_depth": None,
+        }
+    rules = config.get_content_rules(url)
+    match_all = config.match_all_by_url(url)
+    page = extract_page(
+        html,
+        url,
+        match_any_rules=None if match_all else rules,
+        match_all_rules=rules if match_all else None,
+    )
+    contents = page.segments
+    return {
+        "id": sha256_hex(url),
+        "url": url,
+        "domain": domain_of(url),
+        "status": "OK",
+        "http_status": 200,
+        "title": page.title,
+        "contents": contents,
+        "content_length": content_length(contents),
+        "out_links": [
+            n
+            for n, _ in (
+                (normalize_url(href), pos) for href, pos in page.links
+            )
+            if n is not None
+        ],
+        "hash": compute_hash_segments(url, contents),
+        "crawl_depth": None,  # only set on ERROR_PARSE in the reference (:224)
+    }
