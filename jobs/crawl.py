@@ -1,0 +1,80 @@
+"""spark-submit entry point: run a full crawl (all depth rounds) as batch jobs.
+
+Usage:
+    spark-submit --py-files engine.zip jobs/crawl.py \
+        --pages /path/pages.parquet --entry https://host000.example.com/page/0 \
+        --state-dir /tmp/crawl-state [--config crawl.json] [--max-depth 2] \
+        [--per-host-budget N] [--use-bloom]
+
+Prints one summary JSON line and writes queue/docs/url_seen/lineage tables
+under --state-dir (SnapshotStore layout, resumable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--entry", required=True, help="entry URL (http/https)")
+    ap.add_argument("--state-dir", required=True)
+    ap.add_argument("--config", default=None, help="WebCrawlerConfig-shaped JSON")
+    ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--per-host-budget", type=int, default=None)
+    ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--no-processor", action="store_true")
+    args = ap.parse_args()
+
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.rounds import run_crawl
+    from webcrawler_spark.session import get_spark
+    from webcrawler_spark.storage import SnapshotStore
+
+    config = CrawlConfig.from_json(args.config) if args.config else CrawlConfig()
+    if args.max_depth is not None:
+        config.max_depth = args.max_depth
+    if args.per_host_budget is not None:
+        config.per_host_budget = args.per_host_budget
+
+    spark = get_spark(app_name="crawl")
+    t0 = time.monotonic()
+    pages = spark.read.parquet(args.pages)
+    store = SnapshotStore(args.state_dir)
+    res = run_crawl(
+        spark,
+        pages,
+        args.entry,
+        config,
+        store=store,
+        with_processor=not args.no_processor,
+        use_bloom=args.use_bloom,
+    )
+    n_docs = res.docs.count() if res.docs is not None else 0
+    if res.docs is not None:
+        store.write_table(res.docs, "docs", config.max_depth)
+    wall = time.monotonic() - t0
+    summary = {
+        "entry": args.entry,
+        "rounds": res.rounds_run,
+        "urls_enqueued": res.urls_enqueued,
+        "docs": n_docs,
+        "lineage_rows": len(res.lineage),
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(res.urls_enqueued / wall, 2) if wall > 0 else None,
+        "state_dir": args.state_dir,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,150 @@
+"""End-to-end equivalence: the distributed crawl vs the sequential oracle.
+
+The north_star contract: same seed list + config => identical crawl (queue)
+ordering and identical final URL-seen set; byte-identical extracted text;
+identical docs (contents, hashes, lengths) — verified here on the synthetic
+corpus at multiple depths and filter configs.
+"""
+
+import pytest
+
+from webcrawler_spark.config import CrawlConfig, PageConfig
+from webcrawler_spark.oracle import crawl_oracle
+from webcrawler_spark.rounds import run_crawl
+
+
+def _corpus_dict(small_corpus):
+    return {u: h for u, (t, h, l) in small_corpus.pages.items()}
+
+
+def _run_both(spark, pages_df, small_corpus, cfg, entry=None, with_processor=True, **kw):
+    entry = entry or small_corpus.seeds[0]
+    oracle = crawl_oracle(_corpus_dict(small_corpus), entry, cfg, with_processor=with_processor)
+    result = run_crawl(spark, pages_df, entry, cfg, with_processor=with_processor, **kw)
+    return oracle, result
+
+
+@pytest.mark.parametrize("max_depth", [0, 1, 2])
+def test_queue_order_matches_oracle(spark, pages_df, small_corpus, max_depth):
+    cfg = CrawlConfig(max_depth=max_depth)
+    oracle, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=False)
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+
+
+def test_seen_set_matches_oracle(spark, pages_df, small_corpus):
+    cfg = CrawlConfig(max_depth=2)
+    oracle, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=False)
+    got = {r["url"] for r in result.seen.collect()}
+    assert got == oracle.seen
+
+
+def test_entry_enqueue_guard(spark, pages_df, small_corpus):
+    cfg = CrawlConfig(max_depth=0)
+    entry = small_corpus.seeds[0]
+    oracle, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=True)
+    got = [r["url"] for r in result.queue.collect()]
+    assert got[0] == entry
+    assert got == oracle.queue_order
+
+
+def test_include_exclude_filters_match(spark, pages_df, small_corpus):
+    cfg = CrawlConfig(
+        max_depth=2,
+        include_url_patterns=["host00[01]", "page/[0-9]"],
+        exclude_url_patterns=["/page/3", "host002"],
+    )
+    oracle, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=False)
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+
+
+def test_bloom_path_identical_results(spark, pages_df, small_corpus):
+    cfg = CrawlConfig(max_depth=2)
+    oracle, result = _run_both(
+        spark, pages_df, small_corpus, cfg, with_processor=False, use_bloom=True
+    )
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+
+
+def test_docs_match_oracle(spark, pages_df, small_corpus):
+    cfg = CrawlConfig(
+        max_depth=1,
+        content_rules={"minCharacter": 80, "tagName": "p"},
+        pages=[
+            # forum rule set from WebCrawlerConfig.json:10-19 shape
+            PageConfig(
+                url_pattern=r"^https://host001\.example\.com.*",
+                match_all=True,
+                content_rules={
+                    "minCharacter": 600,
+                    "tagName": "span",
+                    "elementStyle": "font-size: 24px; line-height: normal",
+                },
+            )
+        ],
+    )
+    oracle, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=True)
+    got = {r["url"]: r.asDict() for r in result.docs.collect()}
+    assert set(got) == {d["url"] for d in oracle.docs}
+    for d in oracle.docs:
+        g = got[d["url"]]
+        for col in ("id", "domain", "status", "title", "content_length", "hash"):
+            assert g[col] == d[col], f"{col} mismatch for {d['url']}: {g[col]!r} != {d[col]!r}"
+        if d["status"] == "OK":
+            assert list(g["contents"] or []) == d["contents"], d["url"]
+            assert list(g["out_links"] or []) == d["out_links"], d["url"]
+
+
+def test_text_column_byte_identical(spark, pages_df, small_corpus):
+    """input_hint invariant: extracted text per url is byte-identical —
+    the engine's UDF output equals the corpus golden `text` column."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.udfs import extract_schema_with, make_extract_pages
+
+    cfg = CrawlConfig()
+    fn, _ = make_extract_pages(cfg)
+    from webcrawler_spark.udfs import EXTRACT_SCHEMA
+
+    ex = pages_df.select("url", "html").mapInPandas(fn, EXTRACT_SCHEMA)
+    cmp = ex.select("url", F.col("text").alias("engine_text")).join(
+        pages_df.select("url", "text"), "url"
+    )
+    bad = cmp.filter(F.col("engine_text") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_checkpoint_resume_idempotent(spark, pages_df, small_corpus, tmp_path):
+    """north_rule: rounds resumable from snapshot checkpoints; re-running the
+    same crawl over an existing store yields identical results."""
+    from webcrawler_spark.storage import SnapshotStore
+
+    cfg = CrawlConfig(max_depth=1)
+    entry = small_corpus.seeds[0]
+    store = SnapshotStore(str(tmp_path / "state"))
+    r1 = run_crawl(spark, pages_df, entry, cfg, store=store, with_processor=False)
+    q1 = [r["url"] for r in r1.queue.collect()]
+    m1 = store.load_manifest()
+    assert m1 is not None and m1.committed_round == 1
+
+    # crash-rerun: same store, same inputs -> same outputs, manifest intact
+    r2 = run_crawl(spark, pages_df, entry, cfg, store=store, with_processor=False)
+    q2 = [r["url"] for r in r2.queue.collect()]
+    assert q1 == q2
+    # and the committed url_seen table alone reproduces the queue
+    seen = store.read_committed(spark, "url_seen")
+    assert seen is not None
+    q3 = [r["url"] for r in seen.orderBy("pos").select("url").collect()]
+    assert q3 == q1
+
+
+def test_lineage_emitted(spark, pages_df, small_corpus):
+    cfg = CrawlConfig(max_depth=1)
+    _, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=False)
+    assert result.lineage, "lineage rows must be emitted per round/partition"
+    for row in result.lineage:
+        assert row["urls_fetched"] >= 0
+        assert row["wall_ms"] >= 0
+        assert row["round"] in (0, 1)

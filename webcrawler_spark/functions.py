@@ -1,0 +1,106 @@
+"""JVM-side column expressions for the engine's derived fields.
+
+Each helper is the Spark built-in twin of a kernel function, so the hot path
+stays inside whole-stage codegen (SURVEY §2.5 mappings):
+
+- content_hash / content_hash_segments — sha2 over url + NUL + contents
+  (model/WebPageContent.java:213-255); byte-identical to kernel.hashing.
+- content_length_col — Σ char length of segments (:196-206).
+- host_hash_col — first 15 hex chars of sha256(host) as int64; identical to
+  kernel.hashing.host_hash.
+- remove_html_tags_col — regexp_replace '<[^>]*>' (util/CrawlerUtils.java:13-18).
+- accepted_by_filters — include/exclude rlike predicate with Java-regex find()
+  semantics (service/CrawlerService.java:210-220); excludes take precedence.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NUL = "\x00"
+UNIT_SEP = "\u001f"
+
+
+def content_hash(url: Column, content: Column) -> Column:
+    """sha2(url + '\\0' + content), nulls as empty (WebPageContent.java:213-225)."""
+    return F.lower(
+        F.sha2(
+            F.concat(
+                F.coalesce(url, F.lit("")), F.lit(NUL), F.coalesce(content, F.lit(""))
+            ),
+            256,
+        )
+    )
+
+
+def content_hash_segments(url: Column, contents: Column) -> Column:
+    """sha2 over url + '\\0' + join(contents, US) with null segments as ''
+    (WebPageContent.java:232-255). array_join needs an explicit
+    nullReplacement or it silently drops nulls (SURVEY §2.5 H2 caveat)."""
+    joined = F.when(contents.isNull(), F.lit("")).otherwise(
+        F.array_join(contents, UNIT_SEP, "")
+    )
+    return F.lower(
+        F.sha2(F.concat(F.coalesce(url, F.lit("")), F.lit(NUL), joined), 256)
+    )
+
+
+def content_length_col(contents: Column) -> Column:
+    """Σ length(segment), null segments 0 (WebPageContent.java:196-206)."""
+    return F.when(contents.isNull(), F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            contents,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(F.coalesce(x, F.lit(""))),
+        )
+    )
+
+
+def host_hash_col(host: Column) -> Column:
+    """int64 from the first 15 hex chars of sha256(host); 0 for null host.
+    Matches kernel.hashing.host_hash exactly."""
+    return F.when(host.isNull(), F.lit(0).cast("long")).otherwise(
+        F.conv(F.substring(F.sha2(host, 256), 1, 15), 16, 10).cast("long")
+    )
+
+
+def remove_html_tags_col(col: Column) -> Column:
+    return F.regexp_replace(col, "<[^>]*>", "")
+
+
+def doc_id_col(url: Column) -> Column:
+    """Deterministic doc id = sha256(canonical url) (reference README design,
+    'id: SHA-256 of canonical URL'; SURVEY §2.3 P6)."""
+    return F.lower(F.sha2(url, 256))
+
+
+def accepted_by_filters(
+    url: Column,
+    includes: Optional[Sequence[str]],
+    excludes: Optional[Sequence[str]],
+) -> Column:
+    """CrawlerService.isAcceptedByFilters as a JVM-side predicate.
+
+    ``rlike`` is java.util.regex with Matcher.find() substring semantics —
+    the same engine and dialect the reference compiles (SURVEY §2.2 T4).
+    Blank patterns are skipped like compilePatterns (:196-208).
+    """
+    includes = [p for p in (includes or []) if p is not None and p.strip() != ""]
+    excludes = [p for p in (excludes or []) if p is not None and p.strip() != ""]
+    cond = F.lit(True)
+    for p in excludes:
+        cond = cond & ~url.rlike(p)
+    if includes:
+        inc = reduce(lambda a, b: a | b, [url.rlike(p) for p in includes])
+        cond = cond & inc
+    return cond
+
+
+def parse_host(url: Column) -> Column:
+    """parse_url(url, 'HOST') — exact equivalent of URI.getHost for the
+    well-formed URLs the engine emits (WebPageProcessor.java:230-236)."""
+    return F.parse_url(url, F.lit("HOST"))

@@ -1,0 +1,378 @@
+"""The crawl driver: the reference's BFS control flow restated as batch rounds.
+
+One round = one idempotent Spark batch job per depth level (SURVEY §3.1
+"Spark restatement"):
+
+    traverse_d ⋈ pages (url)                       -- "fetch" against the corpus
+      → extraction kernel (mapInPandas)            -- title/segments/links
+      → posexplode(links) → normalize → rlike filter
+      → first-occurrence (groupBy url, min(parent_rank, link_pos))
+      → anti-join url_seen  → global_rank → append to queue/url_seen
+      → anti-join visited   → traverse_{d+1}
+
+The §2.2 order theorem makes the distributed queue order equal the reference's
+single-threaded FIFO drain order: enqueue order is (depth, parent's dequeue
+rank within depth, link position in the parent document), dedup keeps first
+occurrence only. maxDepth semantics (harvest-but-don't-traverse,
+CrawlerService.java:127-131) and the entry-enqueue-only-with-processor guard
+(:110-116) are mirrored exactly.
+
+Checkpoint/resume: with a SnapshotStore, each round's state tables are written
+and re-read (also truncating the lineage DAG); the manifest commits the round
+atomically. A re-run of a crashed round overwrites its versioned dirs —
+idempotent by construction.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import CrawlConfig
+from .functions import (
+    accepted_by_filters,
+    content_hash_segments,
+    content_length_col,
+    doc_id_col,
+    host_hash_col,
+    parse_host,
+)
+from .kernel.urlnorm import normalize_url
+from .operators.dedup import anti_join_new, bloom_sidecar_build, dedup_against_seen
+from .operators.ordering import first_occurrence, global_rank
+from .storage import Manifest, SnapshotStore
+from .udfs import extract_schema_with, make_extract_pages, normalize_url_udf
+
+SEEN_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("pos", LongType()),
+        StructField("host_hash", LongType()),
+        StructField("first_depth", IntegerType()),
+    ]
+)
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType()),
+        StructField("partition_id", IntegerType()),
+        StructField("hosts_served", LongType()),
+        StructField("urls_fetched", LongType()),
+        StructField("urls_deduped", LongType()),
+        StructField("frontier_delta", LongType()),
+        StructField("wall_ms", LongType()),
+    ]
+)
+
+
+@dataclass
+class CrawlResult:
+    queue: DataFrame            # (url, pos) — LinkQueue drain order
+    seen: DataFrame             # url_seen table
+    visited: DataFrame          # traversal dedup set
+    docs: Optional[DataFrame]   # processed documents (None without processor)
+    lineage: List[dict] = field(default_factory=list)
+    rounds_run: int = 0
+    urls_enqueued: int = 0
+
+
+def _single_url_df(spark: SparkSession, url: str, cols: dict) -> DataFrame:
+    row = {"url": url, **cols}
+    fields = [StructField("url", StringType())]
+    for k, v in cols.items():
+        fields.append(
+            StructField(k, LongType() if isinstance(v, int) else StringType())
+        )
+    return spark.createDataFrame([row], StructType(fields))
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    entry_url: str,
+    config: CrawlConfig,
+    store: Optional[SnapshotStore] = None,
+    with_processor: bool = True,
+    use_bloom: bool = False,
+    crawl_ts: str = "2025-06-01 00:00:00",
+) -> CrawlResult:
+    """CrawlerService.crawl(entryUrl, waitForCompletion=True) as batch rounds."""
+    start = normalize_url(entry_url)
+    res = CrawlResult(queue=None, seen=None, visited=None, docs=None)  # type: ignore[arg-type]
+    if start is None:
+        empty_seen = spark.createDataFrame([], SEEN_SCHEMA)
+        res.queue = empty_seen.select("url", "pos")
+        res.seen = empty_seen
+        res.visited = empty_seen.select("url")
+        if with_processor:
+            res.docs = spark.createDataFrame([], _docs_schema())
+        return res
+
+    max_depth = max(0, config.max_depth)
+
+    traverse = _single_url_df(spark, start, {"rank": 0})
+    visited = traverse.select("url")
+    if with_processor:
+        seen = traverse.select(
+            "url",
+            F.lit(0).cast("long").alias("pos"),
+            host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
+            F.lit(0).alias("first_depth"),
+        )
+        queue_size = 1
+    else:
+        seen = spark.createDataFrame([], SEEN_SCHEMA)
+        queue_size = 0
+
+    extract_fn, _ = make_extract_pages(config, carry_cols=["rank"])
+    extract_out = extract_schema_with([StructField("rank", LongType())])
+
+    lineage: List[dict] = []
+
+    for depth in range(0, max_depth + 1):
+        t0 = time.monotonic()
+        fetched = traverse.join(pages.select("url", "html"), "url", "inner")
+        extracted = fetched.mapInPandas(extract_fn, extract_out)
+
+        links = extracted.select(
+            F.col("rank").alias("parent_rank"),
+            F.explode("links").alias("link"),
+        ).select(
+            "parent_rank",
+            F.col("link.pos").alias("link_pos"),
+            normalize_url_udf(F.col("link.href")).alias("url"),
+        ).filter(F.col("url").isNotNull())
+
+        accepted = links.filter(
+            accepted_by_filters(
+                F.col("url"), config.include_url_patterns, config.exclude_url_patterns
+            )
+        )
+
+        # first occurrence within the round (intra-round self-dedup, SURVEY §7 #3)
+        first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"])
+
+        sidecar = None
+        if use_bloom:
+            sidecar = bloom_sidecar_build(seen)
+        new_urls = dedup_against_seen(first, seen, sidecar=sidecar)
+        ranked = global_rank(
+            new_urls, ["parent_rank", "link_pos"], out_col="pos", offset=queue_size
+        )
+        new_seen = ranked.select(
+            "url",
+            "pos",
+            host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
+            F.lit(depth).alias("first_depth"),
+        )
+
+        # --- materialize round state (checkpoint or local truncation) -------
+        if store is not None:
+            store.write_table(new_seen, "seen_delta", depth)
+            new_seen = store.read_table(spark, "seen_delta", depth)
+        else:
+            new_seen = new_seen.localCheckpoint(eager=True)
+
+        n_fetched = fetched.count()
+        n_first = first.count()
+        n_new = new_seen.count()
+        seen = seen.unionByName(new_seen)
+        queue_size += n_new
+
+        if depth < max_depth:
+            cand = anti_join_new(first, visited)
+            traverse_next = global_rank(
+                cand, ["parent_rank", "link_pos"], out_col="new_rank"
+            ).select("url", F.col("new_rank").alias("rank"))
+            if store is not None:
+                store.write_table(traverse_next, "traverse", depth + 1)
+                traverse_next = store.read_table(spark, "traverse", depth + 1)
+            else:
+                traverse_next = traverse_next.localCheckpoint(eager=True)
+            visited = visited.unionByName(traverse_next.select("url"))
+            traverse = traverse_next
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        # per-partition lineage rows (north_rule)
+        part_rows = (
+            new_seen.groupBy(F.pmod(F.col("host_hash"), F.lit(32)).cast("int").alias("partition_id"))
+            .agg(
+                F.countDistinct("host_hash").alias("hosts_served"),
+                F.count("*").alias("urls_fetched"),
+            )
+            .collect()
+        )
+        for r in part_rows:
+            lineage.append(
+                {
+                    "round": depth,
+                    "partition_id": r["partition_id"],
+                    "hosts_served": r["hosts_served"],
+                    "urls_fetched": r["urls_fetched"],
+                    "urls_deduped": n_first - n_new,
+                    "frontier_delta": n_new,
+                    "wall_ms": wall_ms,
+                }
+            )
+        res.rounds_run += 1
+
+        if depth < max_depth and traverse.limit(1).count() == 0:
+            break
+
+    if store is not None:
+        store.write_table(seen, "url_seen", max_depth)
+        seen = store.read_table(spark, "url_seen", max_depth)
+        m = store.load_manifest() or Manifest()
+        m.committed_round = max_depth
+        m.tables["url_seen"] = max_depth
+        m.meta["entry_url"] = entry_url
+        m.meta["queue_size"] = queue_size
+        store.commit(m)
+
+    res.queue = seen.select("url", "pos").orderBy("pos")
+    res.seen = seen
+    res.visited = visited
+    res.lineage = lineage
+    res.urls_enqueued = queue_size
+
+    if with_processor:
+        res.docs = process_queue(spark, seen, pages, config, crawl_ts=crawl_ts)
+    return res
+
+
+def _docs_schema() -> StructType:
+    from pyspark.sql.types import ArrayType, TimestampType
+
+    return StructType(
+        [
+            StructField("id", StringType()),
+            StructField("url", StringType()),
+            StructField("domain", StringType()),
+            StructField("crawl_ts", TimestampType()),
+            StructField("status", StringType()),
+            StructField("http_status", IntegerType()),
+            StructField("fetch_duration_ms", LongType()),
+            StructField("crawl_depth", IntegerType()),
+            StructField("title", StringType()),
+            StructField("description", StringType()),
+            StructField("contents", ArrayType(StringType())),
+            StructField("content_length", LongType()),
+            StructField("content_type", StringType()),
+            StructField("language", StringType()),
+            StructField("out_links", ArrayType(StringType())),
+            StructField("hash", StringType()),
+            StructField("pos", LongType()),
+        ]
+    )
+
+
+def process_queue(
+    spark: SparkSession,
+    queue: DataFrame,
+    pages: DataFrame,
+    config: CrawlConfig,
+    crawl_ts: str = "2025-06-01 00:00:00",
+) -> DataFrame:
+    """WebPageProcessor.processUrl over the whole admitted queue as one batch
+    (the reference's N virtual-thread workers become Spark tasks — SURVEY §2.3 P1).
+
+    Missing page (fetch failure) -> ERROR_FETCH row with partial fields
+    (WebPageProcessor.java:160-170); fetched page -> OK row with title, rule
+    extraction, hash and content length (:172-195).
+    """
+    q = queue.select("url", "pos")
+    joined = q.join(pages, "url", "left")
+
+    fetched = joined.filter(F.col("html").isNotNull())
+    missing = joined.filter(F.col("html").isNull())
+
+    extract_fn, _ = make_extract_pages(config, carry_cols=["pos", "lang", "warc_ts"])
+    from pyspark.sql.types import TimestampType
+
+    out_schema = extract_schema_with(
+        [
+            StructField("pos", LongType()),
+            StructField("lang", StringType()),
+            StructField("warc_ts", TimestampType()),
+        ]
+    )
+    ex = fetched.select("url", "html", "pos", "lang", "warc_ts").mapInPandas(
+        extract_fn, out_schema
+    )
+
+    ts = F.to_timestamp(F.lit(crawl_ts))
+    ok_docs = ex.select(
+        doc_id_col(F.col("url")).alias("id"),
+        F.col("url"),
+        parse_host(F.col("url")).alias("domain"),
+        ts.alias("crawl_ts"),
+        F.lit("OK").alias("status"),
+        F.lit(200).alias("http_status"),
+        F.lit(0).cast("long").alias("fetch_duration_ms"),
+        F.lit(None).cast("int").alias("crawl_depth"),
+        F.col("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.col("segments").alias("contents"),
+        content_length_col(F.col("segments")).alias("content_length"),
+        F.lit("text/html").alias("content_type"),
+        F.col("lang").alias("language"),
+        content_hash_segments(F.col("url"), F.col("segments")).alias("hash"),
+        F.col("pos"),
+    )
+    # out_links: normalize each harvested href, drop rejected (null) ones.
+    # A scalar pandas UDF can't run inside transform(); posexplode+regroup
+    # keeps it vectorized (SURVEY §2.9: T2 is the UDTF-shaped op).
+    links_flat = ex.select(
+        "url", F.posexplode_outer("links").alias("_i", "_l")
+    ).select(
+        "url", "_i", normalize_url_udf(F.col("_l.href")).alias("_n")
+    )
+    out_links = (
+        links_flat.filter(F.col("_n").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), F.col("_n")))
+            ).alias("_sorted")
+        )
+        .select("url", F.transform(F.col("_sorted"), lambda s: s["_n"]).alias("out_links"))
+    )
+    ok_docs = (
+        ok_docs
+        .join(out_links, "url", "left")
+        .withColumn("out_links", F.coalesce(F.col("out_links"), F.array().cast("array<string>")))
+    )
+
+    err_docs = missing.select(
+        F.lit(None).cast("string").alias("id"),
+        F.col("url"),
+        parse_host(F.col("url")).alias("domain"),
+        ts.alias("crawl_ts"),
+        F.lit("ERROR_FETCH").alias("status"),
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit(0).cast("long").alias("fetch_duration_ms"),
+        F.lit(None).cast("int").alias("crawl_depth"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("array<string>").alias("contents"),
+        F.lit(0).cast("long").alias("content_length"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("array<string>").alias("out_links"),
+        content_hash_segments(F.col("url"), F.lit(None).cast("array<string>")).alias("hash"),
+        F.col("pos"),
+    )
+
+    cols = [f.name for f in _docs_schema().fields]
+    return ok_docs.select(*cols).unionByName(err_docs.select(*cols))

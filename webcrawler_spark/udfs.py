@@ -1,0 +1,110 @@
+"""Vectorized (Arrow/pandas) UDF kernels — the only Python in the hot path.
+
+Three kernels per SURVEY §7 "Built-in vs custom":
+- ``extract_pages``   — html -> (title, text, segments, links[pos]) via
+  mapInPandas; one DOM parse per page, config broadcast.
+- ``normalize_url_udf`` — URL normalization (pandas_udf, arrow batches).
+- ``domain_udf``      — URI host extraction twin of ``parse_url(url,'HOST')``
+  for rows where Java-URI reject semantics matter.
+
+Everything else (hashes, lengths, regex filters, window ranks) stays JVM-side
+in ``functions.py`` built-ins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import CrawlConfig
+from .kernel.extract import extract_page
+from .kernel.urlnorm import domain_of, normalize_url
+
+# Schema of the fused page-extraction kernel output.
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+        StructField("segments", ArrayType(StringType())),
+        StructField(
+            "links",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("href", StringType()),
+                        StructField("pos", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def make_extract_pages(config: CrawlConfig, carry_cols: Optional[list] = None):
+    """Returns a mapInPandas function: pages(url, html[, carry]) -> EXTRACT_SCHEMA
+    (+carried columns). Parses each page once (WebPageProcessor.processUrl's
+    title+rules+extract and CrawlerService's link harvest fused — SURVEY §3.1)."""
+    carry_cols = carry_cols or []
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "url": [],
+                "title": [],
+                "text": [],
+                "segments": [],
+                "links": [],
+            }
+            for c in carry_cols:
+                out[c] = []
+            for row in pdf.itertuples(index=False):
+                url = row.url
+                html = row.html
+                if isinstance(html, (bytes, bytearray, memoryview)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                rules = config.get_content_rules(url)
+                match_all = config.match_all_by_url(url)
+                page = extract_page(
+                    html,
+                    url,
+                    match_any_rules=None if match_all else rules,
+                    match_all_rules=rules if match_all else None,
+                )
+                out["url"].append(url)
+                out["title"].append(page.title)
+                out["text"].append(page.text)
+                out["segments"].append(page.segments)
+                out["links"].append(
+                    [{"href": h, "pos": p} for h, p in page.links]
+                )
+                for c in carry_cols:
+                    out[c].append(getattr(row, c))
+            yield pd.DataFrame(out)
+
+    schema = StructType(EXTRACT_SCHEMA.fields.copy())
+    return fn, schema
+
+
+def extract_schema_with(carry_fields: list) -> StructType:
+    return StructType(EXTRACT_SCHEMA.fields + carry_fields)
+
+
+@F.pandas_udf(StringType())
+def normalize_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: normalize_url(u) if u is not None else None)
+
+
+@F.pandas_udf(StringType())
+def domain_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: domain_of(u) if u is not None else None)
