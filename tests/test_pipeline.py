@@ -1,0 +1,333 @@
+"""Training-data pipeline operators, cross-checked against DuckDB oracles
+and pure-Python reimplementations on the driver-generated sf0.001 tables."""
+
+import hashlib
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _tokens(text):
+    return [t for t in text.lower().split() if t]
+
+
+def _hash64(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+def test_token_stats_matches_python(docs):
+    from webcrawler_spark.pipeline.textstats import with_token_stats
+
+    rows = with_token_stats(docs).select("doc_id", "text", "n_tokens", "avg_token_len").collect()
+    assert rows
+    for r in rows[:50]:
+        toks = _tokens(r["text"])
+        assert r["n_tokens"] == len(toks)
+        raw = sum(map(len, toks)) / max(len(toks), 1)
+        expect = float(Decimal(repr(raw)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+        assert abs(r["avg_token_len"] - expect) < 1e-9
+
+
+def test_quality_scores_bounded(docs):
+    from webcrawler_spark.pipeline.textstats import with_quality
+
+    rows = with_quality(docs).select("quality_score", "stopword_ratio", "punct_ratio").collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_id_deterministic(docs):
+    from webcrawler_spark.pipeline.textstats import with_lang_id
+
+    a = with_lang_id(docs).select("doc_id", "pred_lang").collect()
+    b = with_lang_id(docs).select("doc_id", "pred_lang").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    langs = {r["pred_lang"] for r in a}
+    assert langs <= set(["en", "de", "fr", "es", "zh", "und"])
+
+
+def test_fingerprint_exact_matches_sha(docs):
+    from webcrawler_spark.pipeline.textstats import with_fingerprint
+
+    rows = with_fingerprint(docs).select("text", "exact_fp").limit(20).collect()
+    for r in rows:
+        assert r["exact_fp"] == hashlib.sha256(r["text"].encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_duplicates_oracle(spark, docs, ddb):
+    from webcrawler_spark.pipeline.dedup import exact_duplicates
+
+    got = {
+        (r["text_hash"], r["n_dups"], r["keep_id"])
+        for r in exact_duplicates(docs).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ddb.execute(
+            """
+            select sha256(text) as h, count(*) as n, min(doc_id) as k
+            from documents group by sha256(text) having count(*) > 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_minhash_signature_matches_python(spark, docs):
+    from webcrawler_spark.pipeline.dedup import minhash_signatures
+
+    rows = minhash_signatures(docs, n_hashes=4).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in rows[:20]:
+        toks = _tokens(texts[r["doc_id"]])
+        if len(toks) >= 3:
+            sh = list(dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            ))
+        else:
+            sh = [" ".join(toks)]
+        for i in range(4):
+            expect = min(
+                hashlib.sha256(f"{i}:{s}".encode()).hexdigest() for s in sh
+            )
+            assert r[f"mh_{i}"] == expect
+
+
+def test_minhash_lsh_finds_planted_dup(spark):
+    from webcrawler_spark.pipeline.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base),
+        (2, base + " tail"),             # near-dup of 1
+        (3, "completely different words about spark shuffle partitions here"),
+        (4, base),                        # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs or (2, 4) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_signature_matches_python(spark):
+    from webcrawler_spark.pipeline.dedup import simhash_signatures, SIMHASH_BITS
+
+    rows = [(1, "alpha beta gamma alpha"), (2, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+
+    for doc_id, text in rows:
+        toks = _tokens(text)
+        sig = 0
+        for j in range(SIMHASH_BITS):
+            s = sum(1 if (_hash64(t) >> j) & 1 else -1 for t in toks)
+            if s > 0:
+                sig |= 1 << j
+        assert got[doc_id] == sig
+
+
+def test_simhash_pairs_near_dup(spark):
+    from webcrawler_spark.pipeline.dedup import simhash_pairs
+
+    base = (
+        "spark shuffle partition broadcast join window aggregate filter scan "
+        "column table schema parquet arrow batch vector codegen catalyst tungsten "
+        "executor driver task stage lineage checkpoint frontier crawl queue bloom "
+        "politeness robots priority salt skew merge append snapshot manifest "
+        "token corpus text dedup jaccard cosine embedding centroid probe recall"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("cosine", "fox")),  # 1 of 46 tokens differs → hamming 4
+        (3, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"),  # hamming 17 vs doc 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=4).collect()}
+    assert pairs.get((1, 2)) == 4
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_oracle(spark, docs, ddb):
+    from webcrawler_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ddb.execute(
+            """
+            with toks as (
+              select doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') as tk
+              from documents
+            ), sh as (
+              select doc_id, unnest(list_distinct(case when len(tk) >= 3
+                then list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                else [list_aggregate(tk, 'string_agg', ' ')] end)) as s
+              from toks
+            ), sizes as (
+              select doc_id, count(*) as sz from sh group by doc_id
+            ), inter as (
+              select l.doc_id as a, r.doc_id as b, count(*) as i
+              from sh l join sh r on l.s = r.s and l.doc_id < r.doc_id
+              group by 1, 2
+            )
+            select a, b, round(i::double / (sa.sz + sb.sz - i), 4) as jaccard
+            from inter join sizes sa on sa.doc_id = a join sizes sb on sb.doc_id = b
+            where round(i::double / (sa.sz + sb.sz - i), 4) >= 0.3
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_embedding_near_dupes_planted(spark):
+    from webcrawler_spark.pipeline.dedup import embedding_near_dupes
+
+    v = [float(i % 7 - 3) for i in range(64)]
+    v2 = list(v)
+    v2[0] += 0.01
+    w = [float((i * 13) % 11 - 5) for i in range(64)]
+    df = spark.createDataFrame([(1, v), (2, v2), (3, w)], ["vec_id", "embedding"])
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dupes(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_cosine_topk_oracle(spark, emb, ddb):
+    from webcrawler_spark.pipeline.similarity import cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {
+        (r["q_id"], r["neighbor_id"], r["cos"], r["rnk"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ddb.execute(
+            """
+            with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+            q as (select vec_id as q_id, e as qe from v where vec_id < 3),
+            scored as (
+              select q.q_id, v.vec_id as neighbor_id,
+                round(list_dot_product(v.e, q.qe) /
+                      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 4) as cos
+              from v cross join q where v.vec_id != q.q_id
+            )
+            select q_id, neighbor_id, cos, rnk from (
+              select *, row_number() over (partition by q_id order by cos desc, neighbor_id) as rnk
+              from scored
+            ) where rnk <= 5
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ivf_recall_reasonable(spark, emb):
+    from webcrawler_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    centroids = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, centroids, queries, k=3, n_probe=3).collect()
+    }
+    # approximate: at least a third of exact neighbors recovered
+    assert len(exact & approx) >= len(exact) // 3
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def blobs(spark, docs):
+    return docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+
+
+def test_media_meta(spark, blobs):
+    from webcrawler_spark.pipeline.multimodal import with_media_meta
+
+    rows = with_media_meta(blobs).select("doc_id", "byte_len", "blob_sha", "media_kind").collect()
+    assert all(r["byte_len"] > 0 for r in rows)
+    assert all(r["media_kind"] == "application/octet-stream" for r in rows)
+    png = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n"))], ["doc_id", "blob"])
+    assert with_media_meta(png).first()["media_kind"] == "image/png"
+
+
+def test_decode_batch_matches_local_fake(spark, blobs):
+    from webcrawler_spark.pipeline.multimodal import decode_batch, decode_image_fake
+
+    got = {r["doc_id"]: (r["width"], r["height"], r["n_channels"])
+           for r in decode_batch(blobs).collect()}
+    local = {r["doc_id"]: decode_image_fake(bytes(r["blob"]))
+             for r in blobs.collect()}
+    assert got == local
+
+
+def test_decode_real_is_stub(spark):
+    from webcrawler_spark.pipeline.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
+
+
+def test_frame_sample_shape(spark, blobs):
+    from webcrawler_spark.pipeline.multimodal import frame_sample
+
+    one = blobs.limit(2)
+    out = frame_sample(one, every_n=25, n_frames_total=100).collect()
+    assert len(out) == 2 * 4
+    assert sorted({r["frame_idx"] for r in out}) == [0, 25, 50, 75]

@@ -1,0 +1,329 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All operators take a document DataFrame ``(id_col, text_col)`` (or
+``(id_col, vec_col)``) and return either per-doc signatures or candidate
+duplicate **pairs** ``(a, b)`` with ``a < b``.
+
+Scale notes (the 100 TB story — each operator states its shuffle shape):
+
+- ``exact_duplicates``: one hash-partitioned shuffle on the 64-hex digest —
+  map-side combine applies, uniform key distribution by construction (sha256),
+  no skew possible. The classic first-pass dedup.
+- ``minhash_lsh_pairs``: signatures are a narrow projection (no shuffle);
+  the *only* shuffle is groupBy(band, band_key), whose fan-in per bucket is
+  the near-dup cluster size — the whole point of banding is that the O(n²)
+  pair space never materializes. Bucket-size cap guards pathological clusters
+  (e.g. boilerplate pages) from quadratic pair blow-up inside one bucket.
+- ``simhash_pairs``: per-doc 32-bit signature via one token explode +
+  conditional aggregation (single shuffle with combiners); candidate pairing
+  blocks on simhash bands (two 16-bit halves — any pair within Hamming
+  distance 1..16 shares at least one half by pigeonhole for d ≤ 1 per half).
+- ``ngram_jaccard_pairs``: exact Jaccard via shingle-inverted-index self-join;
+  shuffle keyed by shingle. Hot shingles (boilerplate) are dropped by a
+  document-frequency cap — the standard "stop-shingle" guard that keeps the
+  join output linear-ish at corpus scale.
+- ``embedding_near_dupes``: exact cosine over LSH-bucketed candidates (random
+  hyperplane signs) — avoids the O(n²) cross join; brute-force variant lives
+  in ``similarity.cosine_topk``.
+
+Everything is built-in expressions: value-for-value DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textprep import cosine_sim, hash64, minhash_col, shingles_col, tokens_col
+
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, keep_id, dup_ids).
+
+    keep_id = min id (deterministic canonical representative); only groups
+    with n_dups > 1 are returned. Single shuffle on sha256(text).
+    """
+    h = F.lower(F.sha2(F.col(text_col), 256)).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): n_hashes MinHash coordinates over word-k-shingles.
+
+    Narrow projection — no shuffle; each coordinate is the lexicographic min
+    of sha256(seed:shingle) over the doc's distinct shingles.
+    """
+    toks = tokens_col(F.col(text_col))
+    sh = shingles_col(toks, shingle_k)
+    cols: List[Column] = [F.col(id_col)]
+    for i in range(n_hashes):
+        cols.append(minhash_col(sh, i).alias(f"mh_{i}"))
+    return df.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (a, b, n_bands) via banded MinHash-LSH.
+
+    rows-per-band = n_hashes // bands; a pair is a candidate if any band's
+    concatenated minhashes collide. Buckets larger than ``max_bucket`` are
+    dropped (boilerplate guard). Output distinct pairs with band-collision
+    count (a crude similarity proxy), a < b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    band_rows = []
+    for b in range(bands):
+        key = F.concat_ws(
+            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        band_rows.append(
+            sig.select(
+                F.lit(b).alias("band"), key.alias("band_key"), F.col(id_col).alias("id")
+            )
+        )
+    exploded = band_rows[0]
+    for r in band_rows[1:]:
+        exploded = exploded.unionByName(r)
+
+    buckets = (
+        exploded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    # all in-bucket ordered pairs (i < j) via double explode over the sorted list
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")), lambda b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        )
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    return pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("n_bands"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over whitespace tokens.
+
+    bit j of simhash = 1 iff Σ_tokens (±1 by bit j of hash64(token)) > 0.
+    One explode + one groupBy(id) with 32 conditional sums (combiners apply).
+    """
+    toks = tokens_col(F.col(text_col))
+    tok = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .withColumn("h", hash64(F.col("tok")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    summed = tok.groupBy(id_col).agg(*aggs)
+    sim: Column = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return summed.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming ≤ max_hamming) via band blocking.
+
+    Signature split into ``n_bands`` contiguous bands (8 bits each at the
+    default 32/4); pigeonhole guarantees any pair with hamming < n_bands
+    shares at least one identical band, so candidate generation is lossless
+    for max_hamming ≤ n_bands − 1 and recall-trading above that (standard
+    SimHash practice: block on bands, verify exact Hamming on candidates).
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    blocks = None
+    for k in range(n_bands):
+        part = sig.select(
+            F.col(id_col).alias("id"),
+            F.col("simhash"),
+            F.lit(k).alias("band"),
+            F.shiftright(F.col("simhash"), k * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("blk"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    left = blocks.alias("l")
+    right = blocks.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: Optional[int] = 1000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a, b, jaccard ≥ threshold, 4 dp) via a
+    shingle inverted index: explode distinct shingles, drop shingles whose
+    document frequency exceeds ``max_df`` (stop-shingle guard), self-join on
+    shingle, count intersections, compute |A∪B| = |A|+|B|−|A∩B|.
+    """
+    toks = tokens_col(F.col(text_col))
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(toks, shingle_k)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    if max_df is not None:
+        keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        sh = sh.join(keep, "s", "inner")
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate vector pairs (a, b, cos ≥ threshold) via random-
+    hyperplane LSH: sign-bit sketch over ``n_planes`` deterministic pseudo-
+    random hyperplanes (hash64-derived coefficients), bucket on the sketch,
+    exact cosine within buckets only. High-cosine pairs collide with
+    probability (1 − θ/π)^n_planes — the scale path vs the O(n²) cross join.
+    """
+    # deterministic hyperplanes: coef(p, i) = (hash64('p:i') % 2001 - 1000)/1000
+    def plane_dot(vec: Column, p: int) -> Column:
+        vd = F.transform(vec, lambda x: x.cast("double"))
+        coef = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                (hash64(F.concat(F.lit(f"{p}:"), i.cast("string"))) % 2001 - 1000).cast(
+                    "double"
+                )
+                / 1000.0
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(vd, coef, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
+        )
+
+    sketch: Column = F.lit(0)
+    for p in range(n_planes):
+        sketch = sketch + F.when(plane_dot(F.col(vec_col), p) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk"))
+    pairs = (
+        sk.alias("l")
+        .join(sk.alias("r"), (F.col("l.sk") == F.col("r.sk")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            cosine_sim(F.col("l.v"), F.col("r.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs

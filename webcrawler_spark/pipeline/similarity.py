@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``        — exact brute-force top-k neighbors for a set of
+  query vectors. The correctness baseline: broadcast the (small) query side,
+  so the big corpus never shuffles — one scan, per-partition local top-k via
+  window over (query, sim). At 100 TB the corpus side streams; cost is
+  O(|corpus|·|queries|·d) flops, embarrassingly parallel, zero corpus shuffle.
+- ``assign_centroids`` / ``ivf_topk`` — IVF-style approximate variant: assign
+  every vector to its nearest centroid (broadcast centroids, narrow map);
+  queries probe only their ``n_probe`` nearest centroid buckets, turning the
+  scan into a partition-pruned lookup when the corpus table is written
+  partitioned by ``centroid_id`` (the scale path).
+
+All math in double with index-order summation (see textprep.cosine_sim) —
+DuckDB-oracle-checkable value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textprep import cosine_sim
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (q_id, neighbor_id, cos, rnk) with rnk 1..k, ties broken by
+    neighbor_id ascending (deterministic). Self-matches (same id) excluded.
+    """
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+    scored = c.crossJoin(q).filter(F.col("neighbor_id") != F.col("q_id")).select(
+        "q_id",
+        "neighbor_id",
+        cosine_sim(F.col("v"), F.col("q_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id_col: str = "centroid_id",
+    c_vec_col: str = "c_vec",
+) -> DataFrame:
+    """(vec_id, centroid_id, cos): nearest centroid by cosine, ties broken by
+    centroid_id ascending. Centroids broadcast; corpus side is a narrow map —
+    no shuffle. Writing the output partitioned by centroid_id gives IVF
+    partition pruning for free on the read side.
+    """
+    cset = F.broadcast(
+        centroids.select(F.col(c_id_col).alias("cid"), F.col(c_vec_col).alias("cv"))
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col).alias("v")).crossJoin(cset).select(
+        F.col(id_col),
+        F.col("cid"),
+        cosine_sim(F.col("v"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col), F.col("cid").alias("centroid_id"), F.col("cos"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's ``n_probe`` nearest centroid
+    buckets. Same output shape as cosine_topk; recall < 1 by design."""
+    assigned = assign_centroids(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    bucketed = corpus.join(assigned.select(id_col, "centroid_id"), id_col)
+
+    q_probe = assign_probes(queries, centroids, n_probe)
+    cand = bucketed.join(q_probe, "centroid_id").filter(F.col(id_col) != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_sim(F.col(vec_col), F.col("q_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def assign_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, q_vec, centroid_id): each query's n_probe nearest centroids."""
+    cset = F.broadcast(
+        centroids.select(F.col("centroid_id").alias("cid"), F.col("c_vec").alias("cv"))
+    )
+    scored = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
+    ).crossJoin(cset).select(
+        "q_id", "q_vec", F.col("cid"), cosine_sim(F.col("q_vec"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select("q_id", "q_vec", F.col("cid").alias("centroid_id"))
+    )

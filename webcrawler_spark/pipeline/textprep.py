@@ -1,0 +1,76 @@
+"""Shared text-preparation column expressions (tokenize / shingle / hash64).
+
+These are the common kernel under textstats/dedup/similarity. All JVM-side
+built-ins: the hot path over a 100 TB document table stays inside whole-stage
+codegen, and every expression has an exact ANSI-SQL twin (used by the DuckDB
+oracles in ``__spark_entry__.py``).
+
+Conventions (mirrored exactly in oracle SQL — do not change one side only):
+- tokens(text)      = non-empty pieces of split(lower(text), '\\s+')
+- shingles_k        = distinct runs of k consecutive tokens joined with ' '
+- hash64(s)         = int64 of the first 15 hex chars of sha256(s)  (60 bits,
+                      non-negative; same construction as functions.host_hash_col)
+- minhash_i(sh)     = lexicographic min over shingles of sha256(i || ':' || s)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def hash64(s: Column) -> Column:
+    """Deterministic 60-bit non-negative int64 of a string via sha256.
+
+    Chosen over xxhash64/murmur because sha256 exists identically in DuckDB,
+    so dedup/LSH outputs are oracle-checkable bit-for-bit.
+    """
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+
+def shingles_col(toks: Column, k: int) -> Column:
+    """Distinct word k-shingles (space-joined runs of k tokens), in-order
+    first-occurrence distinct. Docs with < k tokens get the whole-doc shingle
+    so they still participate in dedup."""
+    runs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(runs)
+
+
+def minhash_col(shingles: Column, seed: int) -> Column:
+    """Min over shingles of sha256(seed:shingle) — one minhash coordinate.
+    Lexicographic min over fixed-width hex == numeric min over the digest."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.sha2(F.concat(F.lit(f"{seed}:"), s), 256))
+    )
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i in index order, computed in double (inputs cast first so
+    Spark and DuckDB see identical float64 operands)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_double(a: Column) -> Column:
+    return F.sqrt(dot_double(a, a))
+
+
+def cosine_sim(a: Column, b: Column, decimals: int = 4) -> Column:
+    """Cosine similarity rounded to ``decimals`` (rounding both engines to the
+    same precision absorbs any last-bit FMA differences)."""
+    return F.round(dot_double(a, b) / (norm_double(a) * norm_double(b)), decimals)
