@@ -1,38 +1,980 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline ops, each mapped onto the
+driver-generated testdata tables; ``oracle_sql()`` gives the DuckDB twin.
+
+Cross-engine parity conventions (every query follows these):
+- float-derived outputs are scaled-and-rounded to int64 (``*10^k`` then
+  round-half-away) — both engines compute the pre-round double bit-for-bit
+  (same operand order), so integer outputs are hash-stable;
+- timestamps leave as formatted strings (both engines read the parquet
+  timestamps as naive wall-clock);
+- hashes via sha256 (identical hex in Spark's sha2 and DuckDB's sha256);
+- hash64(s) = int64 of the first 15 hex chars of sha256(s) — Spark
+  ``conv(substr(sha2(s),1,15),16,10)`` ≡ DuckDB ``('0x'||substr)::bigint``.
+
+URL-shaped inputs for the crawl operators are constructed deterministically
+from the orders table (40 synthetic hosts), exercising the frontier /
+dedup / admission / ordering operators on driver-provided data only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_HOSTS = 40
+SIMHASH_BITS = 32
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _e(col: Column, scale: int) -> Column:
+    """Scaled-int projection of a double: round(col*10^scale) as int64."""
+    return F.round(col * F.lit(10 ** scale)).cast("long")
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic frontier rows from orders: 40 hosts, one url per order."""
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("host"), (F.col("o_custkey") % N_HOSTS).cast("string"),
+                    F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/order/"),
+                   F.col("o_orderkey").cast("string"))
+    return o.select(
+        url.alias("url"),
+        host.alias("host"),
+        (F.col("o_orderkey") % 3).cast("int").alias("priority"),
+        F.col("o_orderdate").alias("warc_ts"),
+        F.col("o_orderkey").alias("rank"),
+        F.col("o_orderkey"),
+    )
+
+
+_URLS_SQL = f"""
+  select 'https://host' || (o_custkey % {N_HOSTS}) || '.example.com/order/' || o_orderkey as url,
+         'host' || (o_custkey % {N_HOSTS}) || '.example.com' as host,
+         (o_orderkey % 3)::int as priority,
+         o_orderdate as warc_ts,
+         o_orderkey as rank,
+         o_orderkey
+  from orders
+"""
+
+_HASH64_SQL = "(('0x' || substr(sha256({x}), 1, 15))::bigint)"
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+_SHINGLES_SQL = (
+    "list_distinct(case when len({tk}) >= 3 then "
+    "list_transform(range(1, len({tk}) - 1), i -> {tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2]) "
+    "else [list_aggregate({tk}, 'string_agg', ' ')] end)"
+)
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine operator queries (SURVEY §2.1–2.5 on constructed URLs)
+# ---------------------------------------------------------------------------
+
+
+def q_flagship_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2 fused: dedup new candidates against seen, then per-host
+    politeness admission (budget 5) under the frontier order key."""
+    from webcrawler_spark.operators.admission import admit
+    from webcrawler_spark.operators.dedup import anti_join_new
+
+    urls = _urls(spark, sf_dir)
+    seen = urls.filter(F.col("o_orderkey") % 7 == 0).select("url")
+    fresh = anti_join_new(urls, seen)
+    admitted, _ = admit(fresh, per_host_budget=5, host_col="host")
+    return admitted.select("url", "host", "priority")
+
+
+_FLAGSHIP_SQL = f"""
+with urls as ({_URLS_SQL}),
+fresh as (select * from urls where url not in (select url from urls where o_orderkey % 7 = 0)),
+ranked as (
+  select url, host, priority,
+         row_number() over (partition by host order by priority, warc_ts, rank) as adm
+  from fresh)
+select url, host, priority from ranked where adm <= 5
+"""
+
+
+def q_f1_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.operators.dedup import anti_join_new
+
+    li = _t(spark, sf_dir, "lineitem")
+    cand = li.select(
+        F.concat(F.lit("https://cand.example.com/order/"),
+                 F.col("l_orderkey").cast("string")).alias("url")
+    ).distinct()
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
+        F.concat(F.lit("https://cand.example.com/order/"),
+                 F.col("o_orderkey").cast("string")).alias("url")
+    )
+    return anti_join_new(cand, seen)
+
+
+_F1_SQL = """
+select distinct 'https://cand.example.com/order/' || l_orderkey as url
+from lineitem
+where ('https://cand.example.com/order/' || l_orderkey) not in
+      (select 'https://cand.example.com/order/' || o_orderkey from orders where o_orderkey % 7 = 0)
+"""
+
+
+def q_f1_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup gate through the bloom-sidecar fast path — semantics must be
+    identical to the exact anti-join (the sidecar is only a shuffle saver)."""
+    from webcrawler_spark.functions import host_hash_col, parse_host
+    from webcrawler_spark.operators.dedup import bloom_sidecar_build, dedup_against_seen
+
+    li = _t(spark, sf_dir, "lineitem")
+    cand = li.select(
+        F.concat(F.lit("https://cand.example.com/order/"),
+                 F.col("l_orderkey").cast("string")).alias("url")
+    ).distinct()
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
+        F.concat(F.lit("https://cand.example.com/order/"),
+                 F.col("o_orderkey").cast("string")).alias("url")
+    ).withColumn("host_hash", host_hash_col(parse_host(F.col("url"))))
+    sidecar = bloom_sidecar_build(seen, n_buckets=8, m_bits=1 << 17)
+    return dedup_against_seen(
+        cand, seen.select("url"), sidecar=sidecar, n_buckets=8
+    ).select("url")
+
+
+def q_f2_admission_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware admission: hosts with >300 pending split across 4 salts,
+    per-salt budget ceil(8/4)=2 (north_rule: skew handled explicitly)."""
+    from webcrawler_spark.operators.admission import salted_admit
+
+    urls = _urls(spark, sf_dir).withColumnRenamed("host", "host_hash")
+    admitted, _ = salted_admit(
+        urls, per_host_budget=8, host_col="host_hash",
+        salt_threshold=300, n_salts=4,
+    )
+    return admitted.select("url", F.col("host_hash").alias("host"))
+
+
+_F2_SALTED_SQL = f"""
+with urls as ({_URLS_SQL}),
+hot as (select host from urls group by host having count(*) > 300),
+salted as (
+  select u.*, case when h.host is not null then abs(u.rank % 4) else 0 end as salt,
+         case when h.host is not null then 2 else 8 end as budget
+  from urls u left join hot h on u.host = h.host),
+ranked as (
+  select *, row_number() over (partition by host, salt order by priority, warc_ts, rank) as adm
+  from salted)
+select url, host from ranked where adm <= budget
+"""
+
+
+def q_t3_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization UDF (CrawlerService.normalizeUrl): lowercase
+    scheme+host, strip default :443, strip fragment."""
+    from webcrawler_spark.udfs import normalize_url_udf
+
+    messy = F.concat(
+        F.lit("HTTPS://HOST"), (F.col("o_custkey") % N_HOSTS).cast("string"),
+        F.lit(".EXAMPLE.COM:443/order/"), F.col("o_orderkey").cast("string"),
+        F.lit("#frag"),
+    )
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), normalize_url_udf(messy).alias("norm_url")
+    )
+
+
+_T3_SQL = f"""
+select o_orderkey,
+       'https://host' || (o_custkey % {N_HOSTS}) || '.example.com/order/' || o_orderkey as norm_url
+from orders
+"""
+
+
+def q_t4_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include/exclude regex predicate (excludes win; find() substring
+    semantics — both engines regex-match unanchored)."""
+    from webcrawler_spark.functions import accepted_by_filters
+
+    urls = _urls(spark, sf_dir)
+    return urls.filter(
+        accepted_by_filters(
+            F.col("url"),
+            includes=[r"/order/\d*[02468]$"],
+            excludes=[r"host1[0-9]\.example"],
+        )
+    ).select("url")
+
+
+_T4_SQL = f"""
+with urls as ({_URLS_SQL})
+select url from urls
+where not regexp_matches(url, 'host1[0-9]\\.example')
+  and regexp_matches(url, '/order/\\d*[02468]$')
+"""
+
+
+def q_p7_domain_host_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.functions import host_hash_col, parse_host
+
+    urls = _urls(spark, sf_dir).select("url").distinct()
+    dom = parse_host(F.col("url"))
+    return urls.select("url", dom.alias("domain"), host_hash_col(dom).alias("host_hash"))
+
+
+_P7_SQL = f"""
+with urls as ({_URLS_SQL})
+select distinct url,
+       regexp_extract(url, 'https://([^/]+)/', 1) as domain,
+       {_HASH64_SQL.format(x="regexp_extract(url, 'https://([^/]+)/', 1)")} as host_hash
+from urls
+"""
+
+
+def q_h1_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.functions import content_hash
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.example.com/"), F.col("doc_id").cast("string"))
+    return d.select("doc_id", content_hash(url, F.col("text")).alias("hash"))
+
+
+_H1_SQL = """
+select doc_id,
+       sha256('https://docs.example.com/' || doc_id || chr(0) || text) as hash
+from documents
+"""
+
+
+def q_h2_h3_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment hash (H2, \\x1f-joined) + content length (H3, Σ seg chars)."""
+    from webcrawler_spark.functions import content_hash_segments, content_length_col
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.example.com/"), F.col("doc_id").cast("string"))
+    segs = F.array(F.col("text"), F.col("source"))
+    return d.select(
+        "doc_id",
+        content_hash_segments(url, segs).alias("seg_hash"),
+        content_length_col(segs).alias("content_len"),
+    )
+
+
+_H2_SQL = """
+select doc_id,
+       sha256('https://docs.example.com/' || doc_id || chr(0) || text || chr(31) || source) as seg_hash,
+       (length(text) + length(source))::bigint as content_len
+from documents
+"""
+
+
+def q_e7_remove_html_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.functions import remove_html_tags_col
+
+    d = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit('<p class="x">'), F.col("text"), F.lit("</p><br/>"))
+    return d.select("doc_id", remove_html_tags_col(wrapped).alias("clean_text"))
+
+
+_E7_SQL = """
+select doc_id,
+       regexp_replace('<p class="x">' || text || '</p><br/>', '<[^>]*>', '', 'g') as clean_text
+from documents
+"""
+
+
+def q_p6_inverted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional indexing sink: non-empty docs only, deterministic
+    id = sha256(canonical url) (WebPageProcessor.java:197-214 + README design)."""
+    from webcrawler_spark.functions import doc_id_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 300)
+    url = F.concat(F.lit("https://docs.example.com/"), F.col("doc_id").cast("string"))
+    return d.select(doc_id_col(url).alias("id"), F.col("doc_id"), F.col("n_chars"))
+
+
+_P6_SQL = """
+select sha256('https://docs.example.com/' || doc_id) as id, doc_id, n_chars
+from documents where n_chars > 300
+"""
+
+
+# ---------------------------------------------------------------------------
+# ordering / window / aggregation operators (SURVEY §2.2, §2.7, §2.9)
+# ---------------------------------------------------------------------------
+
+
+def q_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence dedup (the seen/visited gate) on events per user."""
+    from webcrawler_spark.operators.ordering import first_occurrence
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    first = first_occurrence(ev, "user_id", ["ts", "event_id"])
+    return first.select(
+        "user_id", F.col("event_id").alias("first_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+_FIRST_OCC_SQL = """
+select user_id, event_id as first_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') as first_ts
+from (select user_id, event_id, ts,
+             row_number() over (partition by user_id order by ts, event_id) as rn
+      from events) where rn = 1
+"""
+
+
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total-order assignment (the §2.2 crawl-order theorem
+    machinery) — two-phase range-partitioned ranking, no single-task sort."""
+    from webcrawler_spark.operators.ordering import global_rank
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_id")
+    return global_rank(ev, ["ts", "event_id"], out_col="pos").select("event_id", "pos")
+
+
+_GLOBAL_RANK_SQL = """
+select event_id, (row_number() over (order by ts, event_id) - 1)::bigint as pos
+from events
+"""
+
+
+def q_o3_status_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        _e(F.sum("value"), 2).alias("total_value_e2"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_O3_SQL = """
+select event_type, count(*) as n,
+       cast(round(sum(value) * 100) as bigint) as total_value_e2,
+       count(distinct user_id) as n_users
+from events group by event_type
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+_WINDOW_LAG_SQL = """
+select user_id, event_id,
+       lag(event_id) over (partition by user_id order by ts, event_id) as prev_event_id,
+       lead(event_id) over (partition by user_id order by ts, event_id) as next_event_id
+from events
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch-shaped windowed aggregation (hourly tumbling window)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.count("*").alias("n"), _e(F.sum("value"), 2).alias("sum_value_e2")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour, event_type,
+       count(*) as n, cast(round(sum(value) * 100) as bigint) as sum_value_e2
+from events group by 1, 2
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.intersect(c)
+
+
+_SET_INTERSECT_SQL = """
+select o_custkey as custkey from orders intersect select c_custkey from customer
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _e(F.sum("o_totalprice"), 0).alias("total_e0"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n", "total_e0",
+        )
+    )
+
+
+_AGG_ROLLUP_SQL = """
+select coalesce(o_orderstatus, 'ALL') as status,
+       coalesce(o_orderpriority, 'ALL') as priority,
+       count(*) as n, cast(round(sum(o_totalprice)) as bigint) as total_e0
+from orders group by rollup (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytics queries (join/agg/top-k engine capability)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2000-01-01 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _e(F.sum("l_quantity"), 2).alias("sum_qty_e2"),
+        _e(F.sum("l_extendedprice"), 2).alias("sum_base_e2"),
+        _e(F.sum(disc_price), 2).alias("sum_disc_e2"),
+        _e(F.sum(charge), 2).alias("sum_charge_e2"),
+        _e(F.avg("l_quantity"), 4).alias("avg_qty_e4"),
+        F.count("*").alias("count_order"),
+    )
+
+
+_Q1_SQL = """
+select l_returnflag, l_linestatus,
+       cast(round(sum(l_quantity) * 100) as bigint) as sum_qty_e2,
+       cast(round(sum(l_extendedprice) * 100) as bigint) as sum_base_e2,
+       cast(round(sum(l_extendedprice * (1 - l_discount)) * 100) as bigint) as sum_disc_e2,
+       cast(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) as bigint) as sum_charge_e2,
+       cast(round(avg(l_quantity) * 10000) as bigint) as avg_qty_e4,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '2000-01-01'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, revenue agg, deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = joined.groupBy("o_orderkey").agg(_e(F.sum(rev), 2).alias("revenue_e2"))
+    return agg.orderBy(F.col("revenue_e2").desc(), F.col("o_orderkey")).limit(10)
+
+
+_Q3_SQL = """
+select o_orderkey, cast(round(sum(l_extendedprice * (1 - l_discount)) * 100) as bigint) as revenue_e2
+from customer, orders, lineitem
+where c_mktsegment = 'BUILDING' and c_custkey = o_custkey and l_orderkey = o_orderkey
+  and o_orderdate < timestamp '1999-01-01' and l_shipdate > timestamp '1999-01-01'
+group by o_orderkey
+order by revenue_e2 desc, o_orderkey limit 10
+"""
+
+
+def q_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims, group by nation."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("r_name", "n_name").agg(_e(F.sum(rev), 2).alias("revenue_e2"))
+
+
+_Q5_SQL = """
+select r_name, n_name,
+       cast(round(sum(l_extendedprice * (1 - l_discount)) * 100) as bigint) as revenue_e2
+from region, nation, customer, supplier, orders, lineitem
+where r_regionkey = n_regionkey and n_nationkey = c_nationkey
+  and c_nationkey = s_nationkey and c_custkey = o_custkey
+  and o_orderkey = l_orderkey and l_suppkey = s_suppkey
+group by r_name, n_name
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", _e(F.col("p_retailprice"), 2).alias("price_e2"), "rnk")
+    )
+
+
+_TOPK_SQL = """
+select p_brand, p_partkey, cast(round(p_retailprice * 100) as bigint) as price_e2, rnk
+from (select *, row_number() over (partition by p_brand order by p_retailprice desc, p_partkey) as rnk
+      from part) where rnk <= 3
+"""
+
+
+def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar function surface (SURVEY §2.9)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.lower("o_orderpriority").alias("pri_lower"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pri_code"),
+        _e(F.col("o_totalprice"), 2).alias("price_e2"),
+        _e(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price_e4"),
+        (F.col("o_orderkey") % 97).alias("key_mod"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.year("o_orderdate").cast("string")).alias("tag"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded"),
+    )
+
+
+_SCALAR_SQL = """
+select o_orderkey,
+       year(o_orderdate)::int as yr, month(o_orderdate)::int as mo, day(o_orderdate)::int as dy,
+       lower(o_orderpriority) as pri_lower,
+       substr(o_orderpriority, 1, 1)::int as pri_code,
+       cast(round(o_totalprice * 100) as bigint) as price_e2,
+       cast(round(sqrt(o_totalprice) * 10000) as bigint) as sqrt_price_e4,
+       o_orderkey % 97 as key_mod,
+       o_orderstatus || '-' || year(o_orderdate) as tag,
+       lpad(o_orderkey::varchar, 10, '0') as padded
+from orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d).select("text_hash", "n_dups", "keep_id")
+
+
+_DEDUP_EXACT_SQL = """
+select sha256(text) as text_hash, count(*) as n_dups, min(doc_id) as keep_id
+from documents group by sha256(text) having count(*) > 1
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, n_hashes=4)
+
+
+_MINHASH_SIG_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+sh as (select doc_id, {_SHINGLES_SQL.format(tk='tk')} as s from toks)
+select doc_id,
+       list_aggregate(list_transform(s, x -> sha256('0:' || x)), 'min') as mh_0,
+       list_aggregate(list_transform(s, x -> sha256('1:' || x)), 'min') as mh_1,
+       list_aggregate(list_transform(s, x -> sha256('2:' || x)), 'min') as mh_2,
+       list_aggregate(list_transform(s, x -> sha256('3:' || x)), 'min') as mh_3
+from sh
+"""
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, n_hashes=4, bands=2)
+
+
+_LSH_PAIRS_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+sh as (select doc_id, {_SHINGLES_SQL.format(tk='tk')} as s from toks),
+sig as (select doc_id,
+       list_aggregate(list_transform(s, x -> sha256('0:' || x)), 'min') as mh_0,
+       list_aggregate(list_transform(s, x -> sha256('1:' || x)), 'min') as mh_1,
+       list_aggregate(list_transform(s, x -> sha256('2:' || x)), 'min') as mh_2,
+       list_aggregate(list_transform(s, x -> sha256('3:' || x)), 'min') as mh_3
+  from sh),
+bandrows as (
+  select 0 as band, mh_0 || '|' || mh_1 as band_key, doc_id as id from sig
+  union all
+  select 1 as band, mh_2 || '|' || mh_3 as band_key, doc_id as id from sig)
+select l.id as a, r.id as b, count(*) as n_bands
+from bandrows l join bandrows r on l.band = r.band and l.band_key = r.band_key and l.id < r.id
+group by 1, 2
+"""
+
+
+def q_dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.dedup import simhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_signatures(d)
+
+
+def _simhash_sql() -> str:
+    h = _HASH64_SQL.format(x="tok")
+    sums = ",\n".join(
+        f"sum(case when ({h} >> {j}) & 1 = 1 then 1 else -1 end) as s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(case when s_{j} > 0 then {1 << j}::bigint else 0 end)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+with toks as (select doc_id, unnest({_TOKS_SQL}) as tok from documents),
+sums as (select doc_id, {sums} from toks group by doc_id)
+select doc_id, ({bits})::bigint as simhash from sums
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3, max_df=None, decimals=None)
+    return pairs.select("a", "b", _e(F.col("jaccard"), 4).alias("jaccard_e4"))
+
+
+_JACCARD_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+sh0 as (select doc_id, unnest({_SHINGLES_SQL.format(tk='tk')}) as s from toks),
+sizes as (select doc_id, count(*) as sz from sh0 group by doc_id),
+inter as (
+  select l.doc_id as a, r.doc_id as b, count(*) as i
+  from sh0 l join sh0 r on l.s = r.s and l.doc_id < r.doc_id group by 1, 2)
+select a, b, cast(round((i::double / (sa.sz + sb.sz - i)) * 10000) as bigint) as jaccard_e4
+from inter join sizes sa on sa.doc_id = a join sizes sb on sb.doc_id = b
+where i::double / (sa.sz + sb.sz - i) >= 0.3
+"""
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk(e, queries, k=5)
+    return out.select("q_id", "neighbor_id", _e(F.col("cos"), 4).alias("cos_e4"), "rnk")
+
+
+_COSINE_TOPK_SQL = """
+with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+q as (select vec_id as q_id, e as qe from v where vec_id < 10),
+scored as (
+  select q.q_id, v.vec_id as neighbor_id,
+         round(list_dot_product(v.e, q.qe) /
+               (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 4) as cos
+  from v cross join q where v.vec_id != q.q_id)
+select q_id, neighbor_id, cast(round(cos * 10000) as bigint) as cos_e4, rnk
+from (select *, row_number() over (partition by q_id order by cos desc, neighbor_id) as rnk from scored)
+where rnk <= 5
+"""
+
+
+def q_embed_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketing: assign each vector to its nearest centroid."""
+    from webcrawler_spark.pipeline.similarity import assign_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    out = assign_centroids(e, centroids)
+    return out.select("vec_id", "centroid_id", _e(F.col("cos"), 4).alias("cos_e4"))
+
+
+_CENTROID_SQL = """
+with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+c as (select vec_id as cid, e as ce from v where vec_id % 37 = 0),
+scored as (
+  select v.vec_id, c.cid,
+         round(list_dot_product(v.e, c.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 4) as cos
+  from v cross join c)
+select vec_id, cid as centroid_id, cast(round(cos * 10000) as bigint) as cos_e4
+from (select *, row_number() over (partition by vec_id order by cos desc, cid) as rn from scored)
+where rn = 1
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.textstats import with_token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = with_token_stats(d, decimals=None)  # raw double, scale exactly once
+    return out.select(
+        "doc_id", "n_tokens", "n_chars_m",
+        _e(F.col("avg_token_len"), 4).alias("avg_token_len_e4"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+with toks as (select doc_id, length(text)::bigint as n_chars_m, {_TOKS_SQL} as tk from documents)
+select doc_id, len(tk)::bigint as n_tokens, n_chars_m,
+       cast(round((list_aggregate(list_transform(tk, t -> length(t)::double), 'sum')
+             / greatest(len(tk), 1)) * 10000) as bigint) as avg_token_len_e4
+from toks
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.textstats import with_quality
+
+    d = _t(spark, sf_dir, "documents")
+    out = with_quality(d, decimals=None)  # raw doubles, scale exactly once
+    return out.select(
+        "doc_id",
+        _e(F.col("stopword_ratio"), 4).alias("stopword_e4"),
+        _e(F.col("punct_ratio"), 4).alias("punct_e4"),
+        _e(F.col("quality_score"), 4).alias("quality_e4"),
+    )
+
+
+_QUALITY_SQL = f"""
+with toks as (select doc_id, text, {_TOKS_SQL} as tk from documents),
+m as (select doc_id,
+        len(list_filter(tk, t -> list_contains(['the','a','and','of','to','is','in','that','it'], t)))::double
+          / greatest(len(tk), 1) as stop,
+        (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::double
+          / greatest(length(text), 1) as punct,
+        len(tk)::double as ntok
+      from toks)
+select doc_id,
+       cast(round(stop * 10000) as bigint) as stopword_e4,
+       cast(round(punct * 10000) as bigint) as punct_e4,
+       cast(round((0.5 * least(1.0, ntok / 50.0)
+                   + least(0.3, 0.3 * stop * 5.0)
+                   + 0.2 * (1.0 - least(1.0, punct * 10.0))) * 10000) as bigint) as quality_e4
+from m
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.textstats import with_lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return with_lang_id(d).select("doc_id", "pred_lang", "lang_score")
+
+
+def _langid_sql() -> str:
+    from webcrawler_spark.pipeline.textstats import LANG_MARKERS
+
+    score_cols = []
+    for code in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[code])
+        score_cols.append(
+            f"len(list_filter(tk, t -> list_contains([{lst}], t)))::bigint as sc_{code}"
+        )
+    # replicate the strict-> incumbent loop over sorted codes
+    codes = sorted(LANG_MARKERS)
+    best_lang, best_score = "'und'", "0::bigint"
+    for code in codes:
+        best_lang = f"(case when sc_{code} > {best_score} then '{code}' else {best_lang} end)"
+        best_score = f"(case when sc_{code} > {best_score} then sc_{code} else {best_score} end)"
+    return f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+scores as (select doc_id, {', '.join(score_cols)} from toks)
+select doc_id, {best_lang} as pred_lang, {best_score} as lang_score from scores
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_spark.pipeline.textstats import with_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "exact_fp", "rolling_fp")
+
+
+_FINGERPRINT_SQL = f"""
+with toks as (select doc_id, text, {_TOKS_SQL} as tk from documents)
+select doc_id, sha256(text) as exact_fp,
+       list_aggregate(list_transform({_SHINGLES_SQL.format(tk='tk')}, s -> sha256(s)), 'min') as rolling_fp
+from toks
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata derivation (blob = utf-8 payload bytes)."""
+    from webcrawler_spark.pipeline.multimodal import with_media_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    return with_media_meta(d).select("doc_id", "byte_len", "blob_sha", "media_kind")
+
+
+_MULTIMODAL_META_SQL = """
+select doc_id, octet_length(encode(text))::bigint as byte_len,
+       sha256(text) as blob_sha,
+       'application/octet-stream' as media_kind
+from documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing (deterministic fake codec) — rows-only
+    check (sha-byte-derived dims are not SQL-expressible)."""
+    from webcrawler_spark.pipeline.multimodal import decode_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    return decode_batch(d)
+
+
+def q_crawl_queue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl on the bundled deterministic synthetic corpus: the LinkQueue
+    drain order reproduced by the §2.2 order theorem. Rows-only check here;
+    exact oracle equality vs the sequential reference BFS is asserted in
+    tests/test_spark_crawl.py."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.rounds import run_crawl
+
+    corpus = generate_corpus(seed=42, n_hosts=4, n_pages=36)
+    rows = [
+        {"url": r["url"], "html": bytes(r["html"]), "lang": r["lang"], "warc_ts": r["warc_ts"]}
+        for r in corpus.rows()
+    ]
+    pages = spark.createDataFrame(rows)
+    cfg = CrawlConfig(max_depth=1)
+    res = run_crawl(spark, pages, corpus.seeds[0], cfg, with_processor=False)
+    return res.queue
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: frontier dedup + politeness
+    admission round (F1+F2), the heart of the crawl engine."""
+    return q_flagship_frontier_round(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl-engine operators (SURVEY §2)
+        "flagship_frontier_round": q_flagship_frontier_round,
+        "f1_dedup_anti_join": q_f1_dedup_anti_join,
+        "f1_dedup_bloom": q_f1_dedup_bloom,
+        "f2_admission_salted": q_f2_admission_salted,
+        "t3_urlnorm": q_t3_urlnorm,
+        "t4_url_filter": q_t4_url_filter,
+        "p7_domain_host_hash": q_p7_domain_host_hash,
+        "h1_content_hash": q_h1_content_hash,
+        "h2_h3_segments": q_h2_h3_segments,
+        "e7_remove_html_tags": q_e7_remove_html_tags,
+        "p6_inverted_docs": q_p6_inverted_docs,
+        "first_occurrence": q_first_occurrence,
+        "global_rank": q_global_rank,
+        "o3_status_agg": q_o3_status_agg,
+        "window_lag": q_window_lag,
+        "events_hourly": q_events_hourly,
+        "set_intersect": q_set_intersect,
+        "agg_rollup": q_agg_rollup,
+        # analytics capability
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_revenue_topk": q_q3_revenue_topk,
+        "q5_regional_revenue": q_q5_regional_revenue,
+        "topk_per_group": q_topk_per_group,
+        "scalar_battery": q_scalar_battery,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_simhash_sig": q_dedup_simhash_sig,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_centroid_assign": q_embed_centroid_assign,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        # non-SQL-expressible (rows-only checks)
+        "multimodal_decode": q_multimodal_decode,
+        "crawl_queue_order": q_crawl_queue_order,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_frontier_round": _FLAGSHIP_SQL,
+        "f1_dedup_anti_join": _F1_SQL,
+        "f1_dedup_bloom": _F1_SQL,  # bloom path must equal exact anti-join
+        "f2_admission_salted": _F2_SALTED_SQL,
+        "t3_urlnorm": _T3_SQL,
+        "t4_url_filter": _T4_SQL,
+        "p7_domain_host_hash": _P7_SQL,
+        "h1_content_hash": _H1_SQL,
+        "h2_h3_segments": _H2_SQL,
+        "e7_remove_html_tags": _E7_SQL,
+        "p6_inverted_docs": _P6_SQL,
+        "first_occurrence": _FIRST_OCC_SQL,
+        "global_rank": _GLOBAL_RANK_SQL,
+        "o3_status_agg": _O3_SQL,
+        "window_lag": _WINDOW_LAG_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "set_intersect": _SET_INTERSECT_SQL,
+        "agg_rollup": _AGG_ROLLUP_SQL,
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_revenue_topk": _Q3_SQL,
+        "q5_regional_revenue": _Q5_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "scalar_battery": _SCALAR_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_sig": _MINHASH_SIG_SQL,
+        "dedup_lsh_pairs": _LSH_PAIRS_SQL,
+        "dedup_simhash_sig": _simhash_sql(),
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "embed_cosine_topk": _COSINE_TOPK_SQL,
+        "embed_centroid_assign": _CENTROID_SQL,
+        "text_token_stats": _TOKEN_STATS_SQL,
+        "text_quality": _QUALITY_SQL,
+        "text_langid": _langid_sql(),
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "multimodal_meta": _MULTIMODAL_META_SQL,
+        # multimodal_decode, crawl_queue_order: intentionally omitted
+    }

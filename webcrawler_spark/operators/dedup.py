@@ -204,12 +204,17 @@ def dedup_against_seen(
     seen: DataFrame,
     sidecar: Optional[DataFrame] = None,
     url_col: str = "url",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Full dedup gate: bloom prefilter (when a sidecar is supplied) then the
     exact anti-join on the maybe-residue only. Semantics identical to
-    ``anti_join_new`` — the bloom is purely an I/O/shuffle saver."""
+    ``anti_join_new`` — the bloom is purely an I/O/shuffle saver.
+
+    ``n_buckets`` MUST equal the value the sidecar was built with: bucket ids
+    are host_hash % n_buckets on both sides, and a mismatch silently routes
+    candidates to empty buckets (= false negatives in the prefilter)."""
     if sidecar is None:
         return anti_join_new(candidates, seen, url_col)
-    new, maybe = bloom_prefilter(candidates, sidecar, url_col=url_col)
+    new, maybe = bloom_prefilter(candidates, sidecar, url_col=url_col, n_buckets=n_buckets)
     checked = anti_join_new(maybe, seen, url_col)
     return new.unionByName(checked)

@@ -37,7 +37,12 @@ def global_rank(
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cols: List[Column] = [F.col(c) for c in sort_cols]
     rp = df.repartitionByRange(num_partitions, *cols)
-    part = rp.withColumn("_pid", F.spark_partition_id())
+    # Materialize the partitioned layout ONCE: the counts job and the ranking
+    # job below must see the *same* physical partitioning, but two separate
+    # evaluations of a range shuffle need not agree (AQE re-planning, sampled
+    # range boundaries). Without this the prefix offsets can be computed
+    # against a layout the final job doesn't have → duplicate/skipped ranks.
+    part = rp.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
 
     counts = part.groupBy("_pid").count().collect()  # ≤ num_partitions rows
     counts_map = {r["_pid"]: r["count"] for r in counts}

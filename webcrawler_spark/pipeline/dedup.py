@@ -239,8 +239,9 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_df: Optional[int] = 1000,
+    decimals: Optional[int] = 4,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs (a, b, jaccard ≥ threshold, 4 dp) via a
+    """Exact Jaccard-similar pairs (a, b, jaccard ≥ threshold) via a
     shingle inverted index: explode distinct shingles, drop shingles whose
     document frequency exceeds ``max_df`` (stop-shingle guard), self-join on
     shingle, count intersections, compute |A∪B| = |A|+|B|−|A∩B|.
@@ -263,14 +264,15 @@ def ngram_jaccard_pairs(
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
-                4,
-            ),
+            "_jac_raw",
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_jac_raw") >= threshold)  # threshold on RAW (engine-stable)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_jac_raw"), decimals) if decimals is not None else F.col("_jac_raw"),
+        )
         .select("a", "b", "jaccard")
     )
     return out

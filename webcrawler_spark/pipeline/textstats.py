@@ -21,7 +21,7 @@ All per-row (narrow) transformations: no shuffle at any scale.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -43,22 +43,29 @@ STOPWORDS: List[str] = ["the", "a", "and", "of", "to", "is", "in", "that", "it"]
 PUNCT_RE = r"[.,!?;:]"
 
 
-def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds n_tokens, n_chars_m (measured), avg_token_len (4 dp)."""
+def _maybe_round(col: Column, decimals: Optional[int]) -> Column:
+    """Round for human-facing output; decimals=None keeps the raw double.
+    NEVER round twice (round-to-decimals then re-scale): the two engines'
+    rounding of an exact-half decimal can differ — scale raw doubles once."""
+    return F.round(col, decimals) if decimals is not None else col
+
+
+def with_token_stats(
+    df: DataFrame, text_col: str = "text", decimals: Optional[int] = 4
+) -> DataFrame:
+    """Adds n_tokens, n_chars_m (measured), avg_token_len (4 dp; raw double
+    when decimals=None — callers that re-scale must round exactly once)."""
     toks = tokens_col(F.col(text_col))
     return (
         df.withColumn("n_tokens", F.size(toks).cast("long"))
         .withColumn("n_chars_m", F.length(F.col(text_col)).cast("long"))
-        .withColumn(
-            "avg_token_len",
-            F.round(
-                F.aggregate(
-                    toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-                )
-                / F.greatest(F.size(toks), F.lit(1)).cast("double"),
-                4,
-            ),
-        )
+        .withColumn("avg_token_len", _maybe_round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            decimals,
+        ))
     )
 
 
@@ -67,7 +74,9 @@ def _count_in_list(toks: Column, words: Sequence[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
 
 
-def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality(
+    df: DataFrame, text_col: str = "text", decimals: Optional[int] = 4
+) -> DataFrame:
     """Adds stopword_ratio, punct_ratio, quality_score ∈ [0,1] (4 dp).
 
     quality_score = 0.5·min(1, n_tokens/50) + 0.3·stopword_ratio·5 (capped
@@ -87,9 +96,9 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct * F.lit(10.0)))
     )
     return (
-        df.withColumn("stopword_ratio", F.round(stop, 4))
-        .withColumn("punct_ratio", F.round(punct, 4))
-        .withColumn("quality_score", F.round(score, 4))
+        df.withColumn("stopword_ratio", _maybe_round(stop, decimals))
+        .withColumn("punct_ratio", _maybe_round(punct, decimals))
+        .withColumn("quality_score", _maybe_round(score, decimals))
     )
 
 
