@@ -1,0 +1,115 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., ...}
+
+Each query is evaluated fully (noop sink — everything computes, nothing
+collects to the driver) and timed wall-clock. The headline set covers the
+crawl operators (frontier round, dedup, admission, ordering) plus the
+analytics and training-data-pipeline queries from __spark_entry__.py.
+
+Optional env:
+    SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     cores for local[N] (default 32)
+    BENCH_QUERIES        comma-separated subset of query names
+    BENCH_REPEAT         timed repetitions per query, best-of (default 1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline subset: one per operator family, weighted toward the north_rule
+# crawl path. Full list = __spark_entry__.queries().
+HEADLINE = [
+    "flagship_frontier_round",
+    "f1_dedup_anti_join",
+    "f1_dedup_bloom",
+    "f2_admission_salted",
+    "t3_urlnorm",
+    "t4_url_filter",
+    "h2_h3_segments",
+    "p6_inverted_docs",
+    "first_occurrence",
+    "global_rank",
+    "q1_pricing_summary",
+    "q3_revenue_topk",
+    "q5_regional_revenue",
+    "topk_per_group",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_lsh_pairs",
+    "dedup_simhash_sig",
+    "embed_cosine_topk",
+    "text_token_stats",
+    "text_langid",
+    "doc_fingerprint",
+]
+
+
+def evaluate(df) -> None:
+    """Force full evaluation without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    only = os.environ.get("BENCH_QUERIES")
+
+    import __spark_entry__ as entry
+    from webcrawler_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    qs = entry.queries()
+    names = [n.strip() for n in only.split(",")] if only else [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + python workers once so per-query numbers are compute, not startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = qs[name]
+        best = None
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            evaluate(fn(spark, sf_dir))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
+        spark.catalog.clearCache()  # drop persisted/localCheckpoint blocks between queries
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "cpus": cpus,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so per the evidencing plan in
+BASELINE.md the same crawl job runs on the same input at two parallelism
+levels — local[N] and local[4N] — and this harness reports throughput at both
+plus scaling efficiency E = thr(4N) / (4 × thr(N)).
+
+Usage (plain python; it shells out to spark-submit --py-files per run):
+    python jobs/bench_scaling.py --corpus /tmp/bigcorpus \
+        [--entry URL] [--cores-low 8] [--cores-high 32] [--max-depth 2] \
+        [--repeat 2] [--out BENCH_SCALING.json]
+
+Throughput = (urls_enqueued + urls_deduped) / crawl wall (job-internal wall,
+excluding SparkSession startup). Best-of-``repeat`` per level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(cores: int, corpus: str, entry: str, max_depth: int, zip_path: str,
+            extra: list) -> dict:
+    state = tempfile.mkdtemp(prefix=f"scale-{cores}-")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "crawl.py"),
+        "--pages", corpus,
+        "--entry", entry,
+        "--state-dir", state,
+        "--max-depth", str(max_depth),
+        *extra,
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    t0 = time.monotonic()
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=tempfile.gettempdir())
+    total_wall = time.monotonic() - t0
+    shutil.rmtree(state, ignore_errors=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-3000:] + proc.stderr[-3000:])
+        raise RuntimeError(f"crawl at local[{cores}] failed rc={proc.returncode}")
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    summary = json.loads(line)
+    summary["total_wall_sec"] = round(total_wall, 2)
+    summary["cores"] = cores
+    return summary
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True, help="dir with pages parquet (pages/ or pages.parquet)")
+    ap.add_argument("--entry", default="https://host000.example.com/page/0")
+    ap.add_argument("--cores-low", type=int, default=8)
+    ap.add_argument("--cores-high", type=int, default=32)
+    ap.add_argument("--max-depth", type=int, default=2)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    pages = args.corpus
+    for cand in ("pages", "pages.parquet"):
+        p = os.path.join(args.corpus, cand)
+        if os.path.exists(p):
+            pages = p
+            break
+
+    tmp = tempfile.mkdtemp(prefix="engine-zip-")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "engine"), "zip", root_dir=REPO, base_dir="webcrawler_spark"
+    )
+    extra = ["--use-bloom"] if args.use_bloom else []
+
+    results = {}
+    for cores in (args.cores_low, args.cores_high):
+        best = None
+        for _ in range(args.repeat):
+            s = run_one(cores, pages, args.entry, args.max_depth, zip_path, extra)
+            if best is None or s["wall_sec"] < best["wall_sec"]:
+                best = s
+        processed = best["urls_enqueued"] + best["urls_deduped"]
+        best["throughput_urls_per_sec"] = round(processed / best["wall_sec"], 2)
+        best["throughput_per_core"] = round(processed / best["wall_sec"] / cores, 2)
+        results[f"local[{cores}]"] = best
+
+    lo = results[f"local[{args.cores_low}]"]
+    hi = results[f"local[{args.cores_high}]"]
+    factor = args.cores_high / args.cores_low
+    eff = hi["throughput_urls_per_sec"] / (factor * lo["throughput_urls_per_sec"])
+    out = {
+        "metric": "urls_fetched+deduped_per_sec",
+        "corpus": pages,
+        "max_depth": args.max_depth,
+        "low": lo,
+        "high": hi,
+        "scale_factor": factor,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

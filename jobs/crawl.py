@@ -61,14 +61,18 @@ def main() -> int:
     if res.docs is not None:
         store.write_table(res.docs, "docs", config.max_depth)
     wall = time.monotonic() - t0
+    # urls_deduped is a round-level value replicated across that round's
+    # per-partition lineage rows; sum it once per round
+    deduped = sum(d for _, d in {(l["round"], l["urls_deduped"]) for l in res.lineage})
     summary = {
         "entry": args.entry,
         "rounds": res.rounds_run,
         "urls_enqueued": res.urls_enqueued,
+        "urls_deduped": deduped,
         "docs": n_docs,
         "lineage_rows": len(res.lineage),
         "wall_sec": round(wall, 2),
-        "urls_per_sec": round(res.urls_enqueued / wall, 2) if wall > 0 else None,
+        "urls_per_sec": round((res.urls_enqueued + deduped) / wall, 2) if wall > 0 else None,
         "state_dir": args.state_dir,
     }
     print(json.dumps(summary))

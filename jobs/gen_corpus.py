@@ -1,0 +1,79 @@
+"""spark-submit job: materialize a large deterministic synthetic corpus.
+
+Usage:
+    spark-submit --py-files engine.zip jobs/gen_corpus.py \
+        --out /tmp/corpus --n-hosts 64 --n-pages 1000000 [--seed 42]
+
+Writes pages/ (parquet dir), seeds.parquet, robots.parquet under --out.
+Generation is distributed (mapInPandas, one pure-function page per row) and
+bit-stable under any partitioning/core count — see corpus.generate_pages_distributed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--n-hosts", type=int, default=64)
+    ap.add_argument("--n-pages", type=int, default=1_000_000)
+    ap.add_argument("--zipf-s", type=float, default=1.2)
+    args = ap.parse_args()
+
+    from webcrawler_spark.corpus import EPOCH, generate_pages_distributed
+    from webcrawler_spark.session import get_spark
+
+    spark = get_spark(app_name="gen-corpus")
+    t0 = time.monotonic()
+    pages, seeds = generate_pages_distributed(
+        spark, seed=args.seed, n_hosts=args.n_hosts, n_pages=args.n_pages,
+        zipf_s=args.zipf_s,
+    )
+    pages.write.mode("overwrite").parquet(f"{args.out}/pages")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(args.out, exist_ok=True)
+    pq.write_table(
+        pa.table({"seed_id": pa.array(range(len(seeds)), pa.int64()), "url": seeds}),
+        f"{args.out}/seeds.parquet",
+    )
+    # robots: same shape as corpus.generate_corpus, deterministic per host
+    hosts = [f"host{h:03d}.example.com" for h in range(args.n_hosts)]
+    rows = []
+    for host in hosts:
+        rng = random.Random(f"{args.seed}:robots:{host}")
+        disallow = ["/missing/"]
+        if rng.random() < 0.10:
+            disallow.append("/page/1")
+        rows.append((host, EPOCH, disallow, rng.choice([0, 500, 2000])))
+    pq.write_table(
+        pa.table(
+            {
+                "host": [r[0] for r in rows],
+                "fetched_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                "disallow": pa.array([r[2] for r in rows], pa.list_(pa.string())),
+                "crawl_delay_ms": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+        f"{args.out}/robots.parquet",
+    )
+    n = spark.read.parquet(f"{args.out}/pages").count()
+    print(json.dumps({"pages": n, "out": args.out, "wall_sec": round(time.monotonic() - t0, 1)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

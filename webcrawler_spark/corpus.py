@@ -257,3 +257,131 @@ def write_parquet(corpus: SyntheticCorpus, out_dir: str) -> None:
         }
     )
     pq.write_table(robots, f"{out_dir}/robots.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Distributed generation (the scale path: millions of pages via mapInPandas)
+# ---------------------------------------------------------------------------
+
+def zipf_alloc(n_hosts: int, n_pages: int, zipf_s: float = 1.2) -> List[int]:
+    """Closed-form Zipf-ish pages-per-host allocation (same formula as
+    ``generate_corpus``); computable identically on driver and executors."""
+    weights = [1.0 / ((r + 1) ** zipf_s) for r in range(n_hosts)]
+    wsum = sum(weights)
+    return [max(1, round(n_pages * w / wsum)) for w in weights]
+
+
+def _gen_page(seed: int, host_idx: int, page_idx: int, alloc: List[int],
+              prefix: "object", total: int, n_hosts: int,
+              intra_host_frac: float = 0.8, dangling_frac: float = 0.05,
+              dup_link_frac: float = 0.10, max_links_per_page: int = 12):
+    """One deterministic page — a pure function of (seed, host_idx, page_idx).
+
+    Unlike ``generate_corpus`` (one shared sequential rng), every page gets its
+    own ``random.Random(f"{seed}:{url}")``, so generation order — and hence
+    Spark partitioning — cannot change the output.
+    """
+    import bisect
+
+    host = f"host{host_idx:03d}.example.com"
+    url = f"https://{host}/page/{page_idx}"
+    rng = random.Random(f"{seed}:{url}")
+    n_links = rng.randint(0, max_links_per_page)
+    links: List[str] = []
+    for _ in range(n_links):
+        if rng.random() < dangling_frac:
+            links.append(f"https://{host}/missing/{rng.randint(0, 10**6)}")
+        elif rng.random() < intra_host_frac:
+            links.append(f"https://{host}/page/{rng.randrange(alloc[host_idx])}")
+        else:
+            g = rng.randrange(total)
+            th = bisect.bisect_right(prefix, g)
+            tp = g - (prefix[th - 1] if th > 0 else 0)
+            links.append(f"https://host{th:03d}.example.com/page/{tp}")
+    if links and rng.random() < dup_link_frac:
+        links.append(rng.choice(links))
+    links = [
+        l.split(host, 1)[1] if (rng.random() < 0.3 and host in l) else l
+        for l in links
+    ]
+    kind = rng.random()
+    title = f"Page {page_idx} on {host}"
+    if kind < 0.45:
+        html = _article_html(rng, title, links)
+    elif kind < 0.7:
+        html = _forum_html(rng, title, links)
+    else:
+        html = _trivial_html(rng, title, links)
+    ts = EPOCH + timedelta(seconds=rng.randint(0, 86400 * 30))
+    lang = rng.choice(_LANGS)
+    return url, ts, html, lang
+
+
+def generate_pages_distributed(
+    spark,
+    seed: int = 42,
+    n_hosts: int = 64,
+    n_pages: int = 100_000,
+    zipf_s: float = 1.2,
+    num_partitions: Optional[int] = None,
+):
+    """The ``pages`` table as a distributed DataFrame (input_hint schema).
+
+    spark.range over global page ids → mapInPandas generation; each page is an
+    independent pure function of (seed, host, page), so output is bit-stable
+    under any partitioning. ``text`` is the kernel's extraction of ``html``
+    (byte-identical invariant holds by construction). Scales linearly with
+    cores — this is how the 1M+-row scaling-bench corpus is produced.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    alloc = zipf_alloc(n_hosts, n_pages, zipf_s)
+    prefix: List[int] = []
+    acc = 0
+    for a in alloc:
+        acc += a
+        prefix.append(acc)
+    total = acc
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("html", BinaryType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import bisect
+
+        import pandas as pd
+
+        for pdf in batches:
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for gid in pdf["id"]:
+                gid = int(gid)
+                h = bisect.bisect_right(prefix, gid)
+                p = gid - (prefix[h - 1] if h > 0 else 0)
+                url, ts, html, lang = _gen_page(seed, h, p, alloc, prefix, total, n_hosts)
+                urls.append(url)
+                tss.append(ts.replace(tzinfo=None))
+                htmls.append(html.encode("utf-8"))
+                texts.append(extract_page(html, url).text)
+                langs.append(lang)
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+            )
+
+    return (
+        spark.range(0, total, numPartitions=num_partitions).mapInPandas(gen, schema),
+        [f"https://host{h:03d}.example.com/page/0" for h in range(min(3, n_hosts))],
+    )

@@ -37,7 +37,7 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textprep import cosine_sim, hash64, minhash_col, shingles_col, tokens_col
+from .textprep import cosine_sim, hash64, shingles_col, spread, tokens_col
 
 SIMHASH_BITS = 32
 
@@ -80,15 +80,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}): n_hashes MinHash coordinates over word-k-shingles.
 
-    Narrow projection — no shuffle; each coordinate is the lexicographic min
-    of sha256(seed:shingle) over the doc's distinct shingles.
+    Each coordinate is the lexicographic min of sha256(seed:shingle) over the
+    doc's shingles. Implemented as explode(shingles) + groupBy(id).agg(min…):
+    sha2/min stay inside whole-stage codegen (the nested higher-order-function
+    alternative compiles a pathologically large janino method and evaluates
+    interpreted), and map-side combine collapses the shuffle to one row per
+    doc per map partition — each doc lives in exactly one input partition, so
+    shuffle volume is n_docs rows regardless of shingle count.
     """
     toks = tokens_col(F.col(text_col))
-    sh = shingles_col(toks, shingle_k)
-    cols: List[Column] = [F.col(id_col)]
-    for i in range(n_hashes):
-        cols.append(minhash_col(sh, i).alias(f"mh_{i}"))
-    return df.select(*cols)
+    sh = spread(df).select(
+        F.col(id_col), F.explode(shingles_col(toks, shingle_k)).alias("_s")
+    )
+    aggs = [
+        F.min(F.sha2(F.concat(F.lit(f"{i}:"), F.col("_s")), 256)).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -109,19 +117,23 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        band_rows.append(
-            sig.select(
-                F.lit(b).alias("band"), key.alias("band_key"), F.col(id_col).alias("id")
+    # one evaluation of the (expensive) signature projection, exploded into
+    # band rows — a union of per-band selects would recompute it ``bands``×
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("band_key"),
             )
-        )
-    exploded = band_rows[0]
-    for r in band_rows[1:]:
-        exploded = exploded.unionByName(r)
+            for b in range(bands)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"), "id")
 
     buckets = (
         exploded.groupBy("band", "band_key")
@@ -160,7 +172,7 @@ def simhash_signatures(
     """
     toks = tokens_col(F.col(text_col))
     tok = (
-        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        spread(df).select(F.col(id_col), F.explode(toks).alias("tok"))
         .withColumn("h", hash64(F.col("tok")))
     )
     aggs = [
@@ -196,17 +208,21 @@ def simhash_pairs(
     sig = simhash_signatures(df, id_col, text_col)
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
-    blocks = None
-    for k in range(n_bands):
-        part = sig.select(
-            F.col(id_col).alias("id"),
-            F.col("simhash"),
-            F.lit(k).alias("band"),
-            F.shiftright(F.col("simhash"), k * band_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias("blk"),
-        )
-        blocks = part if blocks is None else blocks.unionByName(part)
+    # single evaluation of the signature aggregation, exploded into band rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("simhash"), k * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("blk"),
+            )
+            for k in range(n_bands)
+        ]
+    )
+    blocks = sig.select(
+        F.col(id_col).alias("id"), F.col("simhash"), F.explode(band_structs).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.blk").alias("blk"))
     left = blocks.alias("l")
     right = blocks.alias("r")
     cand = (
@@ -247,7 +263,7 @@ def ngram_jaccard_pairs(
     shingle, count intersections, compute |A∪B| = |A|+|B|−|A∩B|.
     """
     toks = tokens_col(F.col(text_col))
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingles_col(toks, shingle_k)).alias("s")
     )
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textprep import cosine_sim
+from .textprep import cosine_sim, spread
 
 
 def cosine_topk(
@@ -38,7 +38,7 @@ def cosine_topk(
     neighbor_id ascending (deterministic). Self-matches (same id) excluded.
     """
     q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
     scored = c.crossJoin(q).filter(F.col("neighbor_id") != F.col("q_id")).select(
         "q_id",
         "neighbor_id",
@@ -68,7 +68,7 @@ def assign_centroids(
     cset = F.broadcast(
         centroids.select(F.col(c_id_col).alias("cid"), F.col(c_vec_col).alias("cv"))
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col).alias("v")).crossJoin(cset).select(
+    scored = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("v")).crossJoin(cset).select(
         F.col(id_col),
         F.col("cid"),
         cosine_sim(F.col("v"), F.col("cv")).alias("cos"),

@@ -15,8 +15,23 @@ Conventions (mirrored exactly in oracle SQL — do not change one side only):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def spread(df: DataFrame, target: Optional[int] = None) -> DataFrame:
+    """Round-robin repartition an under-partitioned input before CPU-heavy
+    per-row expressions (higher-order array functions evaluate interpreted,
+    outside whole-stage codegen — a single-partition scan serializes them
+    onto one core). No-op when the scan already has >= target partitions,
+    which is the real-cluster / 100 TB case; only small single-file local
+    reads pay the (tiny) extra shuffle."""
+    t = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= t:
+        return df
+    return df.repartition(t)
 
 
 def tokens_col(text: Column) -> Column:

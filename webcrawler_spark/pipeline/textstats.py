@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textprep import shingles_col, tokens_col
+from .textprep import shingles_col, spread, tokens_col
 
 # Marker stopwords per language for the heuristic language-ID. Deterministic
 # and tiny — broadcast as literals into the plan.
@@ -108,6 +108,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic tie-break: languages compared in sorted(code) order, strict
     > needed to displace the incumbent, so equal scores keep the earlier code.
     """
+    df = spread(df)
     toks = tokens_col(F.col(text_col))
     best_lang: Column = F.lit("und")
     best_score: Column = F.lit(0).cast("long")
@@ -127,6 +128,7 @@ def with_fingerprint(
     """Adds exact_fp = sha256(text) and rolling_fp = min over word-k-shingles
     of sha256(shingle) (a winnowing-style robust fingerprint: stable under
     local edits outside the minimal shingle)."""
+    df = spread(df)
     toks = tokens_col(F.col(text_col))
     sh = shingles_col(toks, shingle_k)
     rolling = F.array_min(F.transform(sh, lambda s: F.sha2(s, 256)))

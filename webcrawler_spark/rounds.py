@@ -143,7 +143,10 @@ def run_crawl(
     for depth in range(0, max_depth + 1):
         t0 = time.monotonic()
         fetched = traverse.join(pages.select("url", "html"), "url", "inner")
-        extracted = fetched.mapInPandas(extract_fn, extract_out)
+        # persist the extraction output: three downstream consumers (link
+        # pipeline, fetch count, traversal frontier) would otherwise each
+        # re-run the mapInPandas HTML parse — the most expensive op per round
+        extracted = fetched.mapInPandas(extract_fn, extract_out).persist()
 
         links = extracted.select(
             F.col("rank").alias("parent_rank"),
@@ -161,7 +164,8 @@ def run_crawl(
         )
 
         # first occurrence within the round (intra-round self-dedup, SURVEY §7 #3)
-        first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"])
+        # persisted: consumed by both the enqueue path and the traversal path
+        first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"]).persist()
 
         sidecar = None
         if use_bloom:
@@ -184,7 +188,7 @@ def run_crawl(
         else:
             new_seen = new_seen.localCheckpoint(eager=True)
 
-        n_fetched = fetched.count()
+        n_fetched = extracted.count()  # 1:1 with fetched; hits the cache
         n_first = first.count()
         n_new = new_seen.count()
         seen = seen.unionByName(new_seen)
@@ -202,6 +206,8 @@ def run_crawl(
                 traverse_next = traverse_next.localCheckpoint(eager=True)
             visited = visited.unionByName(traverse_next.select("url"))
             traverse = traverse_next
+        extracted.unpersist()
+        first.unpersist()
         wall_ms = int((time.monotonic() - t0) * 1000)
 
         # per-partition lineage rows (north_rule)
