@@ -60,7 +60,12 @@ def run_one(cores: int, corpus: str, entry: str, max_depth: int, zip_path: str,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True, help="dir with pages parquet (pages/ or pages.parquet)")
-    ap.add_argument("--entry", default="https://host000.example.com/page/0")
+    ap.add_argument(
+        "--entry",
+        default=None,
+        help="entry URL / comma list / @seeds.parquet; defaults to the "
+        "corpus seeds.parquet when present, else host000's root",
+    )
     ap.add_argument("--cores-low", type=int, default=8)
     ap.add_argument("--cores-high", type=int, default=32)
     ap.add_argument("--max-depth", type=int, default=2)
@@ -75,6 +80,13 @@ def main() -> int:
         if os.path.exists(p):
             pages = p
             break
+    if args.entry is None:
+        seeds_path = os.path.join(args.corpus, "seeds.parquet")
+        args.entry = (
+            f"@{seeds_path}"
+            if os.path.exists(seeds_path)
+            else "https://host000.example.com/page/0"
+        )
 
     tmp = tempfile.mkdtemp(prefix="engine-zip-")
     zip_path = shutil.make_archive(

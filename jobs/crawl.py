@@ -18,13 +18,22 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# local-mode python workers inherit the driver env, not driver sys.path;
+# without this a plain-python launch from outside the repo breaks mapInPandas
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True, help="pages parquet path")
-    ap.add_argument("--entry", required=True, help="entry URL (http/https)")
+    ap.add_argument(
+        "--entry",
+        required=True,
+        help="entry URL, comma-separated seed list, or @/path/to/seeds.parquet "
+        "(url column, seed_id order)",
+    )
     ap.add_argument("--state-dir", required=True)
     ap.add_argument("--config", default=None, help="WebCrawlerConfig-shaped JSON")
     ap.add_argument("--max-depth", type=int, default=None)
@@ -48,10 +57,21 @@ def main() -> int:
     t0 = time.monotonic()
     pages = spark.read.parquet(args.pages)
     store = SnapshotStore(args.state_dir)
+
+    if args.entry.startswith("@"):
+        import pyarrow.parquet as pq
+
+        seeds_tbl = pq.read_table(args.entry[1:])
+        entry = seeds_tbl.column("url").to_pylist()
+    elif "," in args.entry:
+        entry = [u for u in args.entry.split(",") if u]
+    else:
+        entry = args.entry
+
     res = run_crawl(
         spark,
         pages,
-        args.entry,
+        entry,
         config,
         store=store,
         with_processor=not args.no_processor,

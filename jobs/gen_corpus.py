@@ -18,7 +18,11 @@ import random
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# local-mode python workers inherit the driver env, not driver sys.path;
+# without this a plain-python launch from outside the repo breaks mapInPandas
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> int:
@@ -28,6 +32,10 @@ def main() -> int:
     ap.add_argument("--n-hosts", type=int, default=64)
     ap.add_argument("--n-pages", type=int, default=1_000_000)
     ap.add_argument("--zipf-s", type=float, default=1.2)
+    ap.add_argument(
+        "--n-seeds", type=int, default=3,
+        help="seeds.parquet gets the root page of the first N hosts",
+    )
     args = ap.parse_args()
 
     from webcrawler_spark.corpus import EPOCH, generate_pages_distributed
@@ -35,10 +43,14 @@ def main() -> int:
 
     spark = get_spark(app_name="gen-corpus")
     t0 = time.monotonic()
-    pages, seeds = generate_pages_distributed(
+    pages, _default_seeds = generate_pages_distributed(
         spark, seed=args.seed, n_hosts=args.n_hosts, n_pages=args.n_pages,
         zipf_s=args.zipf_s,
     )
+    seeds = [
+        f"https://host{h:03d}.example.com/page/0"
+        for h in range(min(args.n_seeds, args.n_hosts))
+    ]
     pages.write.mode("overwrite").parquet(f"{args.out}/pages")
 
     import pyarrow as pa

@@ -148,3 +148,41 @@ def test_lineage_emitted(spark, pages_df, small_corpus):
         assert row["urls_fetched"] >= 0
         assert row["wall_ms"] >= 0
         assert row["round"] in (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# seed-list extension (README.md seed-list design; rounds.run_crawl docstring)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("max_depth", [0, 2])
+def test_multi_seed_queue_order_matches_oracle(spark, pages_df, small_corpus, max_depth):
+    cfg = CrawlConfig(max_depth=max_depth)
+    seeds = small_corpus.seeds  # three host roots
+    oracle, result = _run_both(
+        spark, pages_df, small_corpus, cfg, entry=seeds, with_processor=True
+    )
+    got = [r["url"] for r in result.queue.collect()]
+    assert got[: len(seeds)] == seeds  # seeds occupy pos 0..n-1 in list order
+    assert got == oracle.queue_order
+
+
+def test_multi_seed_seen_set_matches_oracle(spark, pages_df, small_corpus):
+    cfg = CrawlConfig(max_depth=2)
+    oracle, result = _run_both(
+        spark, pages_df, small_corpus, cfg, entry=small_corpus.seeds,
+        with_processor=False,
+    )
+    assert {r["url"] for r in result.seen.collect()} == oracle.seen
+
+
+def test_multi_seed_dedup_and_invalid_seeds(spark, pages_df, small_corpus):
+    """Duplicate seeds keep first occurrence; invalid seeds are dropped."""
+    cfg = CrawlConfig(max_depth=0)
+    s0, s1 = small_corpus.seeds[0], small_corpus.seeds[1]
+    messy = [s0, "mailto:x@example.com", s1, s0, "not a url \x00"]
+    oracle, result = _run_both(
+        spark, pages_df, small_corpus, cfg, entry=messy, with_processor=True
+    )
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert got[:2] == [s0, s1]

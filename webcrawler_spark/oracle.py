@@ -85,8 +85,16 @@ def crawl_oracle(
     res = OracleResult()
     queue = LinkQueueOracle()
 
-    start = normalize_url(entry_url)
-    if start is None:
+    # seed-list extension (README.md seed-list design): a str behaves exactly
+    # as CrawlerService.crawl(entry); a list seeds the BFS deque in order at
+    # depth 0 with first-occurrence dedup across seeds
+    seeds = [entry_url] if isinstance(entry_url, str) else list(entry_url)
+    starts: List[str] = []
+    for s in seeds:
+        n = normalize_url(s)
+        if n is not None and n not in starts:
+            starts.append(n)
+    if not starts:
         return res
 
     max_depth = max(0, config.max_depth)
@@ -94,10 +102,11 @@ def crawl_oracle(
     excludes = compile_patterns(config.exclude_url_patterns)
 
     frontier: deque = deque()
-    frontier.append((start, 0))
-    res.visited.add(start)
-    if with_processor:
-        queue.enqueue(start)
+    for start in starts:
+        frontier.append((start, 0))
+        res.visited.add(start)
+        if with_processor:
+            queue.enqueue(start)
 
     rank_within_depth: Dict[int, int] = {}
 

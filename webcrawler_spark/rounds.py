@@ -87,30 +87,30 @@ class CrawlResult:
     urls_enqueued: int = 0
 
 
-def _single_url_df(spark: SparkSession, url: str, cols: dict) -> DataFrame:
-    row = {"url": url, **cols}
-    fields = [StructField("url", StringType())]
-    for k, v in cols.items():
-        fields.append(
-            StructField(k, LongType() if isinstance(v, int) else StringType())
-        )
-    return spark.createDataFrame([row], StructType(fields))
-
-
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
-    entry_url: str,
+    entry_url,
     config: CrawlConfig,
     store: Optional[SnapshotStore] = None,
     with_processor: bool = True,
     use_bloom: bool = False,
     crawl_ts: str = "2025-06-01 00:00:00",
 ) -> CrawlResult:
-    """CrawlerService.crawl(entryUrl, waitForCompletion=True) as batch rounds."""
-    start = normalize_url(entry_url)
+    """CrawlerService.crawl(entryUrl, waitForCompletion=True) as batch rounds.
+
+    ``entry_url`` may be a single URL (reference semantics) or a seed list
+    (README.md seed-list design): seeds occupy queue positions 0..n-1 in list
+    order with first-occurrence dedup, and round 0 traverses all of them.
+    """
+    seed_list = [entry_url] if isinstance(entry_url, str) else list(entry_url)
+    starts: List[str] = []
+    for s in seed_list:
+        n = normalize_url(s)
+        if n is not None and n not in starts:
+            starts.append(n)
     res = CrawlResult(queue=None, seen=None, visited=None, docs=None)  # type: ignore[arg-type]
-    if start is None:
+    if not starts:
         empty_seen = spark.createDataFrame([], SEEN_SCHEMA)
         res.queue = empty_seen.select("url", "pos")
         res.seen = empty_seen
@@ -121,16 +121,19 @@ def run_crawl(
 
     max_depth = max(0, config.max_depth)
 
-    traverse = _single_url_df(spark, start, {"rank": 0})
+    traverse = spark.createDataFrame(
+        [{"url": u, "rank": i} for i, u in enumerate(starts)],
+        StructType([StructField("url", StringType()), StructField("rank", LongType())]),
+    )
     visited = traverse.select("url")
     if with_processor:
         seen = traverse.select(
             "url",
-            F.lit(0).cast("long").alias("pos"),
+            F.col("rank").cast("long").alias("pos"),
             host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
             F.lit(0).alias("first_depth"),
         )
-        queue_size = 1
+        queue_size = len(starts)
     else:
         seen = spark.createDataFrame([], SEEN_SCHEMA)
         queue_size = 0
