@@ -181,6 +181,39 @@ select url, host from ranked where adm <= budget
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate (SURVEY §2.8; CrawlStatus.SKIPPED_ROBOTS,
+    model/CrawlStatus.java:10-11): per-host disallow prefix list, broadcast
+    join, path-prefix match; every 4th host disallows /order/1*."""
+    from webcrawler_spark.operators.admission import apply_robots
+
+    u = _urls(spark, sf_dir).select("url", "host")
+    hn = F.regexp_extract(F.col("host"), r"^host(\d+)", 1).cast("int")
+    robots = u.select("host").distinct().select(
+        "host",
+        F.when(hn % 4 == 0, F.array(F.lit("/order/1")))
+        .otherwise(F.array(F.lit("/nosuch/")))
+        .alias("disallow"),
+    )
+    allowed, skipped = apply_robots(u, robots)
+    tagged = allowed.withColumn("verdict", F.lit("ALLOWED")).unionByName(
+        skipped.withColumn("verdict", F.lit("SKIPPED_ROBOTS"))
+    )
+    return tagged.groupBy("host", "verdict").agg(F.count("*").alias("n"))
+
+
+_ROBOTS_SQL = f"""
+with urls as ({_URLS_SQL}),
+tagged as (
+  select host,
+         case when (regexp_extract(host, 'host(\\d+)', 1)::int % 4 = 0)
+                   and starts_with('/order/' || o_orderkey, '/order/1')
+              then 'SKIPPED_ROBOTS' else 'ALLOWED' end as verdict
+  from urls)
+select host, verdict, count(*) as n from tagged group by host, verdict
+"""
+
+
 def q_t3_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL normalization UDF (CrawlerService.normalizeUrl): lowercase
     scheme+host, strip default :443, strip fragment."""
@@ -394,6 +427,61 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
         F.count("*").alias("n"), _e(F.sum("value"), 2).alias("sum_value_e2")
     )
+
+
+def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: watermarked 1-day tumbling windows over the
+    events stream, drained with Trigger.AvailableNow into a memory sink.
+    Only windows the final watermark (max(ts) − 2 days) closed are emitted —
+    a deterministic, SQL-checkable subset (streaming.windowed_status_counts
+    pattern; reference has no streaming ops, SURVEY §2.9)."""
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # withWatermark requires TIMESTAMP_LTZ; session tz is UTC so the
+        # NTZ→LTZ cast preserves wall-clock values
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        ev.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), _e(F.sum("value"), 2).alias("sum_value_e2"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value_e2",
+        )
+    )
+    qname = "stream_events_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+_STREAM_EVENTS_SQL = """
+with w as (
+  select date_trunc('day', ts) as ws, event_type,
+         count(*) as n, sum(value) as v
+  from events group by 1, 2),
+mx as (select max(ts) as m from events)
+select strftime(ws, '%Y-%m-%d %H:%M:%S') as win_start, event_type, n,
+       cast(round(v * 100) as bigint) as sum_value_e2
+from w, mx
+where ws + interval '1 day' <= m - interval '2 days'
+"""
 
 
 _EVENTS_HOURLY_SQL = """
@@ -900,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_dedup_anti_join": q_f1_dedup_anti_join,
         "f1_dedup_bloom": q_f1_dedup_bloom,
         "f2_admission_salted": q_f2_admission_salted,
+        "robots_filter": q_robots_filter,
         "t3_urlnorm": q_t3_urlnorm,
         "t4_url_filter": q_t4_url_filter,
         "p7_domain_host_hash": q_p7_domain_host_hash,
@@ -912,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_status_agg": q_o3_status_agg,
         "window_lag": q_window_lag,
         "events_hourly": q_events_hourly,
+        "stream_events_windowed": q_stream_events_windowed,
         "set_intersect": q_set_intersect,
         "agg_rollup": q_agg_rollup,
         # analytics capability
@@ -945,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         "f1_dedup_anti_join": _F1_SQL,
         "f1_dedup_bloom": _F1_SQL,  # bloom path must equal exact anti-join
         "f2_admission_salted": _F2_SALTED_SQL,
+        "robots_filter": _ROBOTS_SQL,
         "t3_urlnorm": _T3_SQL,
         "t4_url_filter": _T4_SQL,
         "p7_domain_host_hash": _P7_SQL,
@@ -957,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "o3_status_agg": _O3_SQL,
         "window_lag": _WINDOW_LAG_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "stream_events_windowed": _STREAM_EVENTS_SQL,
         "set_intersect": _SET_INTERSECT_SQL,
         "agg_rollup": _AGG_ROLLUP_SQL,
         "q1_pricing_summary": _Q1_SQL,

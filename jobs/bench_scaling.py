@@ -34,6 +34,11 @@ def run_one(cores: int, corpus: str, entry: str, max_depth: int, zip_path: str,
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
+        # spark.driver.memory set after JVM launch is ignored under
+        # spark-submit; local mode runs every task in the driver heap, so an
+        # explicit flag is required (1g default OOMs on million-page rounds).
+        # Same heap at both levels keeps the comparison fair.
+        "--driver-memory", os.environ.get("SCALE_DRIVER_MEM", "24g"),
         "--py-files", zip_path,
         os.path.join(REPO, "jobs", "crawl.py"),
         "--pages", corpus,

@@ -38,12 +38,20 @@ def main() -> int:
     ap.add_argument("--config", default=None, help="WebCrawlerConfig-shaped JSON")
     ap.add_argument("--max-depth", type=int, default=None)
     ap.add_argument("--per-host-budget", type=int, default=None)
+    ap.add_argument(
+        "--robots", default=None,
+        help="robots parquet (host, disallow array) — enables the robots gate",
+    )
+    ap.add_argument(
+        "--salt-threshold", type=int, default=None,
+        help="politeness mode: salt hosts with more pending urls than this",
+    )
     ap.add_argument("--use-bloom", action="store_true")
     ap.add_argument("--no-processor", action="store_true")
     args = ap.parse_args()
 
     from webcrawler_spark.config import CrawlConfig
-    from webcrawler_spark.rounds import run_crawl
+    from webcrawler_spark.rounds import run_crawl, run_polite_crawl
     from webcrawler_spark.session import get_spark
     from webcrawler_spark.storage import SnapshotStore
 
@@ -68,18 +76,45 @@ def main() -> int:
     else:
         entry = args.entry
 
-    res = run_crawl(
-        spark,
-        pages,
-        entry,
-        config,
-        store=store,
-        with_processor=not args.no_processor,
-        use_bloom=args.use_bloom,
+    polite = (
+        config.per_host_budget is not None
+        or args.robots is not None
+        or config.obey_robots
     )
-    n_docs = res.docs.count() if res.docs is not None else 0
+    if polite:
+        robots_df = spark.read.parquet(args.robots) if args.robots else None
+        res = run_polite_crawl(
+            spark,
+            pages,
+            entry,
+            config,
+            robots=robots_df,
+            store=store,
+            use_bloom=args.use_bloom,
+            salt_threshold=args.salt_threshold,
+        )
+    else:
+        res = run_crawl(
+            spark,
+            pages,
+            entry,
+            config,
+            store=store,
+            with_processor=not args.no_processor,
+            use_bloom=args.use_bloom,
+        )
+    # write first, count the written parquet: count-then-write would run the
+    # full extraction chain twice
+    n_docs = 0
     if res.docs is not None:
         store.write_table(res.docs, "docs", config.max_depth)
+        n_docs = store.read_table(spark, "docs", config.max_depth).count()
+    if res.lineage:
+        from webcrawler_spark.rounds import LINEAGE_SCHEMA
+
+        store.write_table(
+            spark.createDataFrame(res.lineage, LINEAGE_SCHEMA), "lineage", res.rounds_run
+        )
     wall = time.monotonic() - t0
     # urls_deduped is a round-level value replicated across that round's
     # per-partition lineage rows; sum it once per round

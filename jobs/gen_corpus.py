@@ -36,6 +36,12 @@ def main() -> int:
         "--n-seeds", type=int, default=3,
         help="seeds.parquet gets the root page of the first N hosts",
     )
+    ap.add_argument(
+        "--seeds-per-host", type=int, default=1,
+        help="seed the first K existing pages of each seeded host (capped by "
+        "the host's Zipf allocation) — large seed lists make crawl rounds "
+        "work-dominant from round 0",
+    )
     args = ap.parse_args()
 
     from webcrawler_spark.corpus import EPOCH, generate_pages_distributed
@@ -47,9 +53,13 @@ def main() -> int:
         spark, seed=args.seed, n_hosts=args.n_hosts, n_pages=args.n_pages,
         zipf_s=args.zipf_s,
     )
+    from webcrawler_spark.corpus import zipf_alloc
+
+    alloc = zipf_alloc(args.n_hosts, args.n_pages, args.zipf_s)
     seeds = [
-        f"https://host{h:03d}.example.com/page/0"
+        f"https://host{h:03d}.example.com/page/{p}"
         for h in range(min(args.n_seeds, args.n_hosts))
+        for p in range(min(args.seeds_per_host, alloc[h]))
     ]
     pages.write.mode("overwrite").parquet(f"{args.out}/pages")
 

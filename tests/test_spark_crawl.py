@@ -186,3 +186,91 @@ def test_multi_seed_dedup_and_invalid_seeds(spark, pages_df, small_corpus):
     got = [r["url"] for r in result.queue.collect()]
     assert got == oracle.queue_order
     assert got[:2] == [s0, s1]
+
+
+# ---------------------------------------------------------------------------
+# politeness windows + robots gate (north_rule; oracle.crawl_oracle_polite)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_corpus():
+    """Smaller corpus for the politeness tests: admission rounds multiply the
+    per-round fixed cost, so keep the page graph compact."""
+    from webcrawler_spark.corpus import generate_corpus
+
+    return generate_corpus(seed=11, n_hosts=4, n_pages=28)
+
+
+@pytest.fixture(scope="module")
+def tiny_pages_df(spark, tiny_corpus, tmp_path_factory):
+    from webcrawler_spark.corpus import write_parquet
+
+    out = str(tmp_path_factory.mktemp("tiny-corpus"))
+    write_parquet(tiny_corpus, out)
+    return spark.read.parquet(f"{out}/pages.parquet")
+
+
+def _run_both_polite(spark, pages_df, corpus, cfg, entry=None, robots=False, **kw):
+    from webcrawler_spark.oracle import crawl_oracle_polite
+    from webcrawler_spark.rounds import run_polite_crawl
+
+    entry = entry or corpus.seeds
+    rob_dict = None
+    rob_df = None
+    if robots:
+        rob_dict = {r["host"]: r["disallow"] for r in corpus.robots}
+        rob_df = spark.createDataFrame(
+            [{"host": r["host"], "disallow": r["disallow"]} for r in corpus.robots]
+        )
+    oracle = crawl_oracle_polite(
+        {u: h for u, (t, h, l) in corpus.pages.items()}, entry, cfg, robots=rob_dict
+    )
+    result = run_polite_crawl(spark, pages_df, entry, cfg, robots=rob_df, **kw)
+    return oracle, result
+
+
+def test_polite_queue_order_matches_oracle(spark, tiny_pages_df, tiny_corpus):
+    cfg = CrawlConfig(max_depth=2, per_host_budget=2)
+    oracle, result = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert result.rounds_run == oracle.rounds
+    assert {r["url"] for r in result.seen.collect()} == oracle.seen
+
+
+def test_polite_unbounded_equals_reference_order(spark, tiny_pages_df, tiny_corpus):
+    """budget=None admits everything -> the politeness scheduler degenerates
+    to the exact reference BFS order."""
+    cfg = CrawlConfig(max_depth=2, per_host_budget=None)
+    base = crawl_oracle(
+        {u: h for u, (t, h, l) in tiny_corpus.pages.items()},
+        tiny_corpus.seeds, cfg, with_processor=True,
+    )
+    _, result = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == base.queue_order
+
+
+def test_polite_robots_statuses_match_oracle(spark, tiny_pages_df, tiny_corpus):
+    cfg = CrawlConfig(max_depth=1, per_host_budget=2)
+    oracle, result = _run_both_polite(
+        spark, tiny_pages_df, tiny_corpus, cfg, robots=True
+    )
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    got_status = {(r["url"], r["status"]) for r in result.docs.collect()}
+    exp_status = {(d["url"], d["status"]) for d in oracle.docs}
+    assert got_status == exp_status
+    # the corpus robots disallow /missing/ everywhere: dangling links must be
+    # SKIPPED_ROBOTS (not ERROR_FETCH) when robots are honored
+    assert any(s == "SKIPPED_ROBOTS" for _, s in got_status)
+
+
+def test_polite_salted_admission_same_sets(spark, tiny_pages_df, tiny_corpus):
+    """Salting reorders within hot hosts but must not change WHICH urls are
+    seen in total (budget sum preserved across salts)."""
+    cfg = CrawlConfig(max_depth=1, per_host_budget=2)
+    oracle, result = _run_both_polite(
+        spark, tiny_pages_df, tiny_corpus, cfg, salt_threshold=5, n_salts=4
+    )
+    assert {r["url"] for r in result.seen.collect()} == oracle.seen

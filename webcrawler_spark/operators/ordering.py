@@ -36,6 +36,10 @@ def global_rank(
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cols: List[Column] = [F.col(c) for c in sort_cols]
+    # RangePartitioner runs a separate sampling job over the input before the
+    # shuffle job — without a persist the whole upstream chain (anti-joins,
+    # window dedups) evaluates twice per call
+    df = df.persist()
     rp = df.repartitionByRange(num_partitions, *cols)
     # Materialize the partitioned layout ONCE: the counts job and the ranking
     # job below must see the *same* physical partitioning, but two separate
@@ -43,6 +47,7 @@ def global_rank(
     # range boundaries). Without this the prefix offsets can be computed
     # against a layout the final job doesn't have → duplicate/skipped ranks.
     part = rp.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    df.unpersist()
 
     counts = part.groupBy("_pid").count().collect()  # ≤ num_partitions rows
     counts_map = {r["_pid"]: r["count"] for r in counts}

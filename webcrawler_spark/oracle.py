@@ -200,3 +200,127 @@ def process_url_oracle(corpus: Dict[str, str], url: str, config: CrawlConfig) ->
         "hash": compute_hash_segments(url, contents),
         "crawl_depth": None,  # only set on ERROR_PARSE in the reference (:224)
     }
+
+
+# ---------------------------------------------------------------------------
+# Politeness-windowed crawl (per-host admission budget + robots gate)
+# ---------------------------------------------------------------------------
+
+def _robots_blocked(url: str, robots: Optional[Dict[str, List[str]]]) -> bool:
+    """Per-host path-prefix disallow (README.md:145-147 designed semantics)."""
+    if not robots:
+        return False
+    host = domain_of(url)
+    if host is None:
+        return False
+    prefixes = robots.get(host)
+    if not prefixes:
+        return False
+    # path exactly as apply_robots: everything after the authority
+    rest = url.split("://", 1)[-1]
+    slash = rest.find("/")
+    path = rest[slash:] if slash >= 0 else "/"
+    return any(path.startswith(p) for p in prefixes)
+
+
+@dataclass
+class PoliteOracleResult(OracleResult):
+    rounds: int = 0
+    admitted_per_round: List[int] = field(default_factory=list)
+
+
+def crawl_oracle_polite(
+    corpus: Dict[str, str],
+    entry_url,
+    config: CrawlConfig,
+    robots: Optional[Dict[str, List[str]]] = None,
+    max_rounds: int = 10_000,
+) -> PoliteOracleResult:
+    """The reference BFS extended with the *designed* politeness + robots
+    semantics (README.md:55-57,145-147 — declared, never implemented there;
+    north_rule requires them). Definitions this oracle fixes, mirrored by
+    rounds.run_polite_crawl:
+
+    - pending frontier is a deque in global discovery order; each ROUND admits,
+      per host, the first ``per_host_budget`` pending URLs in that order; the
+      rest defer to the next round unchanged (budget None = admit all).
+    - robots-blocked URLs consume admission budget but are neither fetched nor
+      harvested; at processing time they become SKIPPED_ROBOTS docs.
+    - links of an admitted page are enqueued exactly as the base crawl
+      (always-enqueue-accepted, queue dedup); children are pushed to pending
+      iff unvisited and child depth <= maxDepth (harvest-only at maxDepth).
+    """
+    res = PoliteOracleResult()
+    queue = LinkQueueOracle()
+
+    seeds = [entry_url] if isinstance(entry_url, str) else list(entry_url)
+    starts: List[str] = []
+    for s in seeds:
+        n = normalize_url(s)
+        if n is not None and n not in starts:
+            starts.append(n)
+    if not starts:
+        return res
+
+    max_depth = max(0, config.max_depth)
+    budget = config.per_host_budget
+    includes = compile_patterns(config.include_url_patterns)
+    excludes = compile_patterns(config.exclude_url_patterns)
+
+    pending: deque = deque((u, 0) for u in starts)
+    for u in starts:
+        res.visited.add(u)
+        queue.enqueue(u)
+
+    while pending and res.rounds < max_rounds:
+        res.rounds += 1
+        admitted: List[Tuple[str, int]] = []
+        deferred: deque = deque()
+        host_counts: Dict[str, int] = {}
+        for u, d in pending:
+            h = domain_of(u) or ""
+            c = host_counts.get(h, 0)
+            if budget is None or c < budget:
+                host_counts[h] = c + 1
+                admitted.append((u, d))
+            else:
+                deferred.append((u, d))
+        pending = deferred
+        res.admitted_per_round.append(len(admitted))
+
+        for u, d in admitted:
+            if _robots_blocked(u, robots):
+                continue  # budget consumed, nothing fetched or harvested
+            html = corpus.get(u)
+            if html is None:
+                continue
+            for href, _pos in extract_page(html, u).links:
+                n = normalize_url(href)
+                if n is None or not is_accepted(n, includes, excludes):
+                    continue
+                queue.enqueue(n)
+                if d < max_depth and n not in res.visited:
+                    res.visited.add(n)
+                    pending.append((n, d + 1))
+
+    res.seen = queue.seen
+    res.queue_order = queue.drain()
+    for url in res.queue_order:
+        if _robots_blocked(url, robots):
+            doc = {
+                "id": None,
+                "url": url,
+                "domain": domain_of(url),
+                "status": "SKIPPED_ROBOTS",
+                "http_status": None,
+                "title": None,
+                "contents": None,
+                "content_length": 0,
+                "out_links": None,
+                "hash": compute_hash_segments(url, None),
+                "crawl_depth": None,
+            }
+        else:
+            doc = process_url_oracle(corpus, url, config)
+        res.docs.append(doc)
+    return res

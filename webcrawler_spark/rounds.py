@@ -52,7 +52,7 @@ from .kernel.urlnorm import normalize_url
 from .operators.dedup import anti_join_new, bloom_sidecar_build, dedup_against_seen
 from .operators.ordering import first_occurrence, global_rank
 from .storage import Manifest, SnapshotStore
-from .udfs import extract_schema_with, make_extract_pages, normalize_url_udf
+from .udfs import extract_schema_with, make_extract_pages
 
 SEEN_SCHEMA = StructType(
     [
@@ -151,14 +151,15 @@ def run_crawl(
         # re-run the mapInPandas HTML parse — the most expensive op per round
         extracted = fetched.mapInPandas(extract_fn, extract_out).persist()
 
+        # hrefs come out of the kernel already normalized and null-free
         links = extracted.select(
             F.col("rank").alias("parent_rank"),
             F.explode("links").alias("link"),
         ).select(
             "parent_rank",
             F.col("link.pos").alias("link_pos"),
-            normalize_url_udf(F.col("link.href")).alias("url"),
-        ).filter(F.col("url").isNotNull())
+            F.col("link.href").alias("url"),
+        )
 
         accepted = links.filter(
             accepted_by_filters(
@@ -191,9 +192,20 @@ def run_crawl(
         else:
             new_seen = new_seen.localCheckpoint(eager=True)
 
-        n_fetched = extracted.count()  # 1:1 with fetched; hits the cache
-        n_first = first.count()
-        n_new = new_seen.count()
+        # per-partition lineage rows (north_rule); n_new derived from their
+        # sum — the materialized new_seen is scanned once, not counted twice
+        part_rows = (
+            new_seen.groupBy(
+                F.pmod(F.col("host_hash"), F.lit(32)).cast("int").alias("partition_id")
+            )
+            .agg(
+                F.countDistinct("host_hash").alias("hosts_served"),
+                F.count("*").alias("urls_fetched"),
+            )
+            .collect()
+        )
+        n_new = sum(r["urls_fetched"] for r in part_rows)
+        n_first = first.count()  # cached; dedup delta = n_first - n_new
         seen = seen.unionByName(new_seen)
         queue_size += n_new
 
@@ -213,15 +225,6 @@ def run_crawl(
         first.unpersist()
         wall_ms = int((time.monotonic() - t0) * 1000)
 
-        # per-partition lineage rows (north_rule)
-        part_rows = (
-            new_seen.groupBy(F.pmod(F.col("host_hash"), F.lit(32)).cast("int").alias("partition_id"))
-            .agg(
-                F.countDistinct("host_hash").alias("hosts_served"),
-                F.count("*").alias("urls_fetched"),
-            )
-            .collect()
-        )
         for r in part_rows:
             lineage.append(
                 {
@@ -292,15 +295,24 @@ def process_queue(
     pages: DataFrame,
     config: CrawlConfig,
     crawl_ts: str = "2025-06-01 00:00:00",
+    robots: Optional[DataFrame] = None,
 ) -> DataFrame:
     """WebPageProcessor.processUrl over the whole admitted queue as one batch
     (the reference's N virtual-thread workers become Spark tasks — SURVEY §2.3 P1).
 
     Missing page (fetch failure) -> ERROR_FETCH row with partial fields
     (WebPageProcessor.java:160-170); fetched page -> OK row with title, rule
-    extraction, hash and content length (:172-195).
+    extraction, hash and content length (:172-195). With a ``robots`` table,
+    disallowed URLs become SKIPPED_ROBOTS rows (CrawlStatus.java:10-11) and
+    are never fetched/parsed.
     """
     q = queue.select("url", "pos")
+    skipped_robots = None
+    if robots is not None:
+        from .operators.admission import apply_robots
+
+        q, blocked = apply_robots(q, robots)
+        skipped_robots = blocked
     joined = q.join(pages, "url", "left")
 
     fetched = joined.filter(F.col("html").isNotNull())
@@ -338,29 +350,10 @@ def process_queue(
         F.col("lang").alias("language"),
         content_hash_segments(F.col("url"), F.col("segments")).alias("hash"),
         F.col("pos"),
-    )
-    # out_links: normalize each harvested href, drop rejected (null) ones.
-    # A scalar pandas UDF can't run inside transform(); posexplode+regroup
-    # keeps it vectorized (SURVEY §2.9: T2 is the UDTF-shaped op).
-    links_flat = ex.select(
-        "url", F.posexplode_outer("links").alias("_i", "_l")
-    ).select(
-        "url", "_i", normalize_url_udf(F.col("_l.href")).alias("_n")
-    )
-    out_links = (
-        links_flat.filter(F.col("_n").isNotNull())
-        .groupBy("url")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_i"), F.col("_n")))
-            ).alias("_sorted")
-        )
-        .select("url", F.transform(F.col("_sorted"), lambda s: s["_n"]).alias("out_links"))
-    )
-    ok_docs = (
-        ok_docs
-        .join(out_links, "url", "left")
-        .withColumn("out_links", F.coalesce(F.col("out_links"), F.array().cast("array<string>")))
+        # out_links: the kernel already emits normalized, null-free hrefs in
+        # document order — a plain column transform, no explode/regroup/
+        # self-join (which would also evaluate the extraction twice per action)
+        F.transform(F.col("links"), lambda l: l["href"]).alias("out_links"),
     )
 
     err_docs = missing.select(
@@ -384,4 +377,236 @@ def process_queue(
     )
 
     cols = [f.name for f in _docs_schema().fields]
-    return ok_docs.select(*cols).unionByName(err_docs.select(*cols))
+    out = ok_docs.select(*cols).unionByName(err_docs.select(*cols))
+    if skipped_robots is not None:
+        robots_docs = skipped_robots.select(
+            F.lit(None).cast("string").alias("id"),
+            F.col("url"),
+            parse_host(F.col("url")).alias("domain"),
+            ts.alias("crawl_ts"),
+            F.lit("SKIPPED_ROBOTS").alias("status"),
+            F.lit(None).cast("int").alias("http_status"),
+            F.lit(0).cast("long").alias("fetch_duration_ms"),
+            F.lit(None).cast("int").alias("crawl_depth"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("description"),
+            F.lit(None).cast("array<string>").alias("contents"),
+            F.lit(0).cast("long").alias("content_length"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.lit(None).cast("string").alias("language"),
+            F.lit(None).cast("array<string>").alias("out_links"),
+            content_hash_segments(
+                F.col("url"), F.lit(None).cast("array<string>")
+            ).alias("hash"),
+            F.col("pos"),
+        )
+        out = out.unionByName(robots_docs.select(*cols))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Politeness-windowed crawl (per-host admission + robots; north_rule core)
+# ---------------------------------------------------------------------------
+
+def run_polite_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    entry_url,
+    config: CrawlConfig,
+    robots: Optional[DataFrame] = None,
+    store: Optional[SnapshotStore] = None,
+    use_bloom: bool = False,
+    salt_threshold: Optional[int] = None,
+    n_salts: int = 16,
+    max_rounds: int = 10_000,
+    crawl_ts: str = "2025-06-01 00:00:00",
+) -> CrawlResult:
+    """The frontier scheduler with per-host politeness windows and a robots
+    gate — semantics fixed by oracle.crawl_oracle_polite (the reference only
+    *designed* these: README.md:55-57,145-147).
+
+    Each round admits, per host, the first ``config.per_host_budget`` pending
+    URLs in global discovery order (row_number over host ordered by grank);
+    the rest defer unchanged. Robots-blocked URLs consume budget, produce no
+    links, and process as SKIPPED_ROBOTS docs. Hot hosts can be salted
+    (``salt_threshold``) at the documented cost of per-salt-only ordering.
+    """
+    from .operators.admission import admit, apply_robots, salted_admit
+
+    seed_list = [entry_url] if isinstance(entry_url, str) else list(entry_url)
+    starts: List[str] = []
+    for s in seed_list:
+        n = normalize_url(s)
+        if n is not None and n not in starts:
+            starts.append(n)
+    res = CrawlResult(queue=None, seen=None, visited=None, docs=None)  # type: ignore[arg-type]
+    if not starts:
+        empty_seen = spark.createDataFrame([], SEEN_SCHEMA)
+        res.queue = empty_seen.select("url", "pos")
+        res.seen = empty_seen
+        res.visited = empty_seen.select("url")
+        res.docs = spark.createDataFrame([], _docs_schema())
+        return res
+
+    max_depth = max(0, config.max_depth)
+    budget = config.per_host_budget
+
+    trav_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("grank", LongType()),
+            StructField("depth", IntegerType()),
+        ]
+    )
+    traverse = spark.createDataFrame(
+        [{"url": u, "grank": i, "depth": 0} for i, u in enumerate(starts)], trav_schema
+    )
+    visited = traverse.select("url")
+    seen = traverse.select(
+        "url",
+        F.col("grank").alias("pos"),
+        host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
+        F.lit(0).alias("first_depth"),
+    )
+    queue_size = len(starts)
+    discovered = len(starts)
+
+    extract_fn, _ = make_extract_pages(config, carry_cols=["grank", "depth"])
+    extract_out = extract_schema_with(
+        [StructField("grank", LongType()), StructField("depth", IntegerType())]
+    )
+
+    lineage: List[dict] = []
+
+    for rnd in range(max_rounds):
+        t0 = time.monotonic()
+        tr = traverse.withColumn("host", parse_host(F.col("url")))
+        if salt_threshold is not None:
+            admitted, deferred = salted_admit(
+                tr.withColumn("rank", F.col("grank")), budget,
+                order_cols=("grank",), host_col="host",
+                salt_threshold=salt_threshold, n_salts=n_salts,
+            )
+            admitted = admitted.drop("rank")
+            deferred = deferred.drop("rank")
+        else:
+            admitted, deferred = admit(tr, budget, order_cols=("grank",), host_col="host")
+        if robots is not None:
+            allowed, _blocked = apply_robots(admitted, robots)
+        else:
+            allowed = admitted
+        allowed = allowed.drop("host")
+        deferred = deferred.drop("host")
+
+        fetched = allowed.join(pages.select("url", "html"), "url", "inner")
+        extracted = fetched.mapInPandas(extract_fn, extract_out).persist()
+
+        links = extracted.select(
+            F.col("grank").alias("parent_rank"),
+            (F.col("depth") + 1).alias("child_depth"),
+            F.explode("links").alias("link"),
+        ).select(
+            "parent_rank",
+            "child_depth",
+            F.col("link.pos").alias("link_pos"),
+            F.col("link.href").alias("url"),
+        )
+        accepted = links.filter(
+            accepted_by_filters(
+                F.col("url"), config.include_url_patterns, config.exclude_url_patterns
+            )
+        )
+        first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"]).persist()
+
+        sidecar = bloom_sidecar_build(seen) if use_bloom else None
+        new_urls = dedup_against_seen(first, seen, sidecar=sidecar)
+        ranked = global_rank(
+            new_urls, ["parent_rank", "link_pos"], out_col="pos", offset=queue_size
+        )
+        new_seen = ranked.select(
+            "url",
+            "pos",
+            host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
+            F.col("child_depth").alias("first_depth"),
+        )
+        if store is not None:
+            store.write_table(new_seen, "seen_delta", rnd)
+            new_seen = store.read_table(spark, "seen_delta", rnd)
+        else:
+            new_seen = new_seen.localCheckpoint(eager=True)
+
+        part_rows = (
+            new_seen.groupBy(
+                F.pmod(F.col("host_hash"), F.lit(32)).cast("int").alias("partition_id")
+            )
+            .agg(
+                F.countDistinct("host_hash").alias("hosts_served"),
+                F.count("*").alias("urls_fetched"),
+            )
+            .collect()
+        )
+        n_new = sum(r["urls_fetched"] for r in part_rows)
+        n_first = first.count()
+        seen = seen.unionByName(new_seen)
+        queue_size += n_new
+
+        cand = anti_join_new(
+            first.filter(F.col("child_depth") <= max_depth), visited
+        )
+        tnext = global_rank(
+            cand, ["parent_rank", "link_pos"], out_col="new_grank", offset=discovered
+        ).select(
+            "url",
+            F.col("new_grank").alias("grank"),
+            F.col("child_depth").cast("int").alias("depth"),
+        )
+        traverse_next = deferred.unionByName(tnext)
+        if store is not None:
+            store.write_table(traverse_next, "traverse", rnd + 1)
+            traverse_next = store.read_table(spark, "traverse", rnd + 1)
+        else:
+            traverse_next = traverse_next.localCheckpoint(eager=True)
+        # new children are exactly the rows ranked this round (grank >= the
+        # pre-round discovered counter); deferred rows keep their older granks
+        n_next_total = traverse_next.count()
+        new_children = traverse_next.filter(F.col("grank") >= discovered)
+        visited = visited.unionByName(new_children.select("url"))
+        discovered += new_children.count()
+
+        extracted.unpersist()
+        first.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        for r in part_rows:
+            lineage.append(
+                {
+                    "round": rnd,
+                    "partition_id": r["partition_id"],
+                    "hosts_served": r["hosts_served"],
+                    "urls_fetched": r["urls_fetched"],
+                    "urls_deduped": n_first - n_new,
+                    "frontier_delta": n_new,
+                    "wall_ms": wall_ms,
+                }
+            )
+        res.rounds_run += 1
+        if n_next_total == 0:
+            break
+        traverse = traverse_next
+
+    if store is not None:
+        store.write_table(seen, "url_seen", res.rounds_run)
+        seen = store.read_table(spark, "url_seen", res.rounds_run)
+        m = store.load_manifest() or Manifest()
+        m.committed_round = res.rounds_run
+        m.tables["url_seen"] = res.rounds_run
+        m.meta["entry_url"] = starts[0] if len(starts) == 1 else f"{len(starts)} seeds"
+        m.meta["queue_size"] = queue_size
+        store.commit(m)
+
+    res.queue = seen.select("url", "pos").orderBy("pos")
+    res.seen = seen
+    res.visited = visited
+    res.lineage = lineage
+    res.urls_enqueued = queue_size
+    res.docs = process_queue(spark, seen, pages, config, crawl_ts=crawl_ts, robots=robots)
+    return res

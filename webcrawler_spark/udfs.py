@@ -54,7 +54,14 @@ EXTRACT_SCHEMA = StructType(
 def make_extract_pages(config: CrawlConfig, carry_cols: Optional[list] = None):
     """Returns a mapInPandas function: pages(url, html[, carry]) -> EXTRACT_SCHEMA
     (+carried columns). Parses each page once (WebPageProcessor.processUrl's
-    title+rules+extract and CrawlerService's link harvest fused — SURVEY §3.1)."""
+    title+rules+extract and CrawlerService's link harvest fused — SURVEY §3.1).
+
+    Harvested links are emitted already normalized (CrawlerService.normalizeUrl,
+    T3), nulls dropped, original document position kept: fusing normalization
+    into this kernel removes a second Arrow/pandas-UDF stage per round and
+    lets out_links be a plain column transform instead of an explode+regroup
+    self-join. Ordering semantics are unchanged — ``pos`` values stay the
+    document positions, they just may be non-consecutive."""
     carry_cols = carry_cols or []
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,7 +93,13 @@ def make_extract_pages(config: CrawlConfig, carry_cols: Optional[list] = None):
                 out["text"].append(page.text)
                 out["segments"].append(page.segments)
                 out["links"].append(
-                    [{"href": h, "pos": p} for h, p in page.links]
+                    [
+                        {"href": n, "pos": p}
+                        for n, p in (
+                            (normalize_url(h), p) for h, p in page.links
+                        )
+                        if n is not None
+                    ]
                 )
                 for c in carry_cols:
                     out[c].append(getattr(row, c))
