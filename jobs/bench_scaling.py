@@ -28,6 +28,39 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _burn(_):
+    import time as _t
+
+    t0 = _t.monotonic()
+    x = 0
+    while _t.monotonic() - t0 < 4:
+        x += 1
+    return x
+
+
+def hardware_ceiling(cores_low: int, cores_high: int) -> dict:
+    """Pure-CPU scaling the box actually delivers between the two process
+    counts (virtualized/shared hosts throttle and jitter: local[N]→local[4N]
+    cannot exceed this no matter how parallel the software is). Reported
+    alongside the crawl numbers so software efficiency can be judged against
+    the machine, not an idealized 4×."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (cores_low, cores_high):
+        best = 0.0
+        for _ in range(2):
+            with mp.Pool(n) as p:
+                best = max(best, sum(p.map(_burn, range(n))) / 4.0)
+        rates[n] = best
+    ceiling = rates[cores_high] / (rates[cores_low] * (cores_high / cores_low))
+    return {
+        f"cpu_ops_per_sec_{cores_low}": round(rates[cores_low]),
+        f"cpu_ops_per_sec_{cores_high}": round(rates[cores_high]),
+        "hw_scaling_ceiling": round(ceiling, 3),
+    }
+
+
 def run_one(cores: int, corpus: str, entry: str, max_depth: int, zip_path: str,
             extra: list) -> dict:
     state = tempfile.mkdtemp(prefix=f"scale-{cores}-")
@@ -115,6 +148,7 @@ def main() -> int:
     hi = results[f"local[{args.cores_high}]"]
     factor = args.cores_high / args.cores_low
     eff = hi["throughput_urls_per_sec"] / (factor * lo["throughput_urls_per_sec"])
+    hw = hardware_ceiling(args.cores_low, args.cores_high)
     out = {
         "metric": "urls_fetched+deduped_per_sec",
         "corpus": pages,
@@ -123,6 +157,12 @@ def main() -> int:
         "high": hi,
         "scale_factor": factor,
         "scaling_efficiency": round(eff, 3),
+        **hw,
+        "sw_efficiency_vs_hw_ceiling": round(
+            min(1.0, eff / hw["hw_scaling_ceiling"]), 3
+        )
+        if hw["hw_scaling_ceiling"] > 0
+        else None,
         "target": 0.8,
         "pass": eff >= 0.8,
     }

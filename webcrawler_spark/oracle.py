@@ -90,9 +90,11 @@ def crawl_oracle(
     # depth 0 with first-occurrence dedup across seeds
     seeds = [entry_url] if isinstance(entry_url, str) else list(entry_url)
     starts: List[str] = []
+    _start_set: Set[str] = set()  # list membership is O(n) -> O(n^2) over big seed lists
     for s in seeds:
         n = normalize_url(s)
-        if n is not None and n not in starts:
+        if n is not None and n not in _start_set:
+            _start_set.add(n)
             starts.append(n)
     if not starts:
         return res
@@ -255,9 +257,11 @@ def crawl_oracle_polite(
 
     seeds = [entry_url] if isinstance(entry_url, str) else list(entry_url)
     starts: List[str] = []
+    _start_set: Set[str] = set()  # list membership is O(n) -> O(n^2) over big seed lists
     for s in seeds:
         n = normalize_url(s)
-        if n is not None and n not in starts:
+        if n is not None and n not in _start_set:
+            _start_set.add(n)
             starts.append(n)
     if not starts:
         return res

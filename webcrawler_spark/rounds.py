@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Set
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,9 +105,11 @@ def run_crawl(
     """
     seed_list = [entry_url] if isinstance(entry_url, str) else list(entry_url)
     starts: List[str] = []
+    _start_set: Set[str] = set()  # list membership is O(n) -> O(n^2) over big seed lists
     for s in seed_list:
         n = normalize_url(s)
-        if n is not None and n not in starts:
+        if n is not None and n not in _start_set:
+            _start_set.add(n)
             starts.append(n)
     res = CrawlResult(queue=None, seen=None, visited=None, docs=None)  # type: ignore[arg-type]
     if not starts:
@@ -143,9 +145,17 @@ def run_crawl(
 
     lineage: List[dict] = []
 
+    frontier_rows = len(starts)  # known exactly each round; drives the join strategy
+
     for depth in range(0, max_depth + 1):
         t0 = time.monotonic()
-        fetched = traverse.join(pages.select("url", "html"), "url", "inner")
+        # Broadcast the frontier side while it fits: the pages table (with its
+        # html payload) then never shuffles — it streams through a broadcast
+        # hash join. At true 10^10-frontier scale the frontier side outgrows
+        # broadcast and this degrades to the shuffle join; a cluster deployment
+        # co-locates by bucketing pages and frontier on url instead.
+        trav_side = F.broadcast(traverse) if frontier_rows <= 5_000_000 else traverse
+        fetched = pages.select("url", "html").join(trav_side, "url", "inner")
         # persist the extraction output: three downstream consumers (link
         # pipeline, fetch count, traversal frontier) would otherwise each
         # re-run the mapInPandas HTML parse — the most expensive op per round
@@ -221,6 +231,7 @@ def run_crawl(
                 traverse_next = traverse_next.localCheckpoint(eager=True)
             visited = visited.unionByName(traverse_next.select("url"))
             traverse = traverse_next
+            frontier_rows = traverse_next.count()  # materialized; also the stop check
         extracted.unpersist()
         first.unpersist()
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -239,7 +250,7 @@ def run_crawl(
             )
         res.rounds_run += 1
 
-        if depth < max_depth and traverse.limit(1).count() == 0:
+        if depth < max_depth and frontier_rows == 0:
             break
 
     if store is not None:
@@ -259,7 +270,9 @@ def run_crawl(
     res.urls_enqueued = queue_size
 
     if with_processor:
-        res.docs = process_queue(spark, seen, pages, config, crawl_ts=crawl_ts)
+        res.docs = process_queue(
+            spark, seen, pages, config, crawl_ts=crawl_ts, queue_rows=queue_size
+        )
     return res
 
 
@@ -296,6 +309,7 @@ def process_queue(
     config: CrawlConfig,
     crawl_ts: str = "2025-06-01 00:00:00",
     robots: Optional[DataFrame] = None,
+    queue_rows: Optional[int] = None,
 ) -> DataFrame:
     """WebPageProcessor.processUrl over the whole admitted queue as one batch
     (the reference's N virtual-thread workers become Spark tasks — SURVEY §2.3 P1).
@@ -313,10 +327,19 @@ def process_queue(
 
         q, blocked = apply_robots(q, robots)
         skipped_robots = blocked
-    joined = q.join(pages, "url", "left")
 
-    fetched = joined.filter(F.col("html").isNotNull())
-    missing = joined.filter(F.col("html").isNull())
+    if queue_rows is not None and queue_rows <= 5_000_000:
+        # broadcast the queue: the pages table (html payload) streams through
+        # a broadcast hash join instead of shuffling wholesale; the missing
+        # set needs only a url-column anti-join (no html movement)
+        fetched = pages.join(F.broadcast(q), "url", "inner")
+        missing = q.join(pages.select("url"), "url", "left_anti").withColumn(
+            "html", F.lit(None).cast("binary")
+        )
+    else:
+        joined = q.join(pages, "url", "left")
+        fetched = joined.filter(F.col("html").isNotNull())
+        missing = joined.filter(F.col("html").isNull())
 
     extract_fn, _ = make_extract_pages(config, carry_cols=["pos", "lang", "warc_ts"])
     from pyspark.sql.types import TimestampType
@@ -435,9 +458,11 @@ def run_polite_crawl(
 
     seed_list = [entry_url] if isinstance(entry_url, str) else list(entry_url)
     starts: List[str] = []
+    _start_set: Set[str] = set()  # list membership is O(n) -> O(n^2) over big seed lists
     for s in seed_list:
         n = normalize_url(s)
-        if n is not None and n not in starts:
+        if n is not None and n not in _start_set:
+            _start_set.add(n)
             starts.append(n)
     res = CrawlResult(queue=None, seen=None, visited=None, docs=None)  # type: ignore[arg-type]
     if not starts:
@@ -477,6 +502,7 @@ def run_polite_crawl(
     )
 
     lineage: List[dict] = []
+    frontier_rows = len(starts)
 
     for rnd in range(max_rounds):
         t0 = time.monotonic()
@@ -498,7 +524,9 @@ def run_polite_crawl(
         allowed = allowed.drop("host")
         deferred = deferred.drop("host")
 
-        fetched = allowed.join(pages.select("url", "html"), "url", "inner")
+        # broadcast the admitted frontier while it fits (see run_crawl note)
+        allowed_side = F.broadcast(allowed) if frontier_rows <= 5_000_000 else allowed
+        fetched = pages.select("url", "html").join(allowed_side, "url", "inner")
         extracted = fetched.mapInPandas(extract_fn, extract_out).persist()
 
         links = extracted.select(
@@ -569,6 +597,7 @@ def run_polite_crawl(
         # new children are exactly the rows ranked this round (grank >= the
         # pre-round discovered counter); deferred rows keep their older granks
         n_next_total = traverse_next.count()
+        frontier_rows = n_next_total
         new_children = traverse_next.filter(F.col("grank") >= discovered)
         visited = visited.unionByName(new_children.select("url"))
         discovered += new_children.count()
@@ -608,5 +637,8 @@ def run_polite_crawl(
     res.visited = visited
     res.lineage = lineage
     res.urls_enqueued = queue_size
-    res.docs = process_queue(spark, seen, pages, config, crawl_ts=crawl_ts, robots=robots)
+    res.docs = process_queue(
+        spark, seen, pages, config, crawl_ts=crawl_ts, robots=robots,
+        queue_rows=queue_size,
+    )
     return res

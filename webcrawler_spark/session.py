@@ -31,7 +31,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # smaller than the 128m cluster default: per-byte cost here is a
+        # Python DOM parse, so scan splits must outnumber cores or the
+        # mapInPandas stage runs underparallelized (1.5 GB / 128m = 12 tasks
+        # would starve 32 cores)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "16m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
