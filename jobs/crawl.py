@@ -103,6 +103,7 @@ def main() -> int:
             with_processor=not args.no_processor,
             use_bloom=args.use_bloom,
         )
+    t_rounds_done = time.monotonic()
     # write first, count the written parquet: count-then-write would run the
     # full extraction chain twice
     n_docs = 0
@@ -127,6 +128,11 @@ def main() -> int:
         "docs": n_docs,
         "lineage_rows": len(res.lineage),
         "wall_sec": round(wall, 2),
+        "rounds_wall_sec": round(t_rounds_done - t0, 2),
+        "docs_wall_sec": round(wall - (t_rounds_done - t0), 2),
+        "round_walls_ms": sorted(
+            {(l["round"], l["wall_ms"]) for l in res.lineage}
+        ),
         "urls_per_sec": round((res.urls_enqueued + deduped) / wall, 2) if wall > 0 else None,
         "state_dir": args.state_dir,
     }

@@ -1,0 +1,69 @@
+"""Storage-level operator parity: F4 queue reset, S1 merge-upsert,
+S2 get-by-id, S3 scan-limit (SURVEY §2.1/§2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def store(tmp_path):
+    from webcrawler_spark.storage import SnapshotStore
+
+    return SnapshotStore(str(tmp_path / "state"))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [{"id": i, "url": u, "title": t} for i, u, t in rows],
+        "id string, url string, title string",
+    )
+
+
+def test_reset_clears_tables_and_manifest(spark, store):
+    from webcrawler_spark.storage import Manifest, reset
+
+    store.write_table(_docs(spark, [("a", "u1", "t1")]), "url_seen", 0)
+    m = Manifest(committed_round=0, tables={"url_seen": 0})
+    store.commit(m)
+    assert store.read_committed(spark, "url_seen") is not None
+
+    reset(store)
+    assert store.load_manifest() is None
+    assert store.read_committed(spark, "url_seen") is None
+
+
+def test_inverted_doc_upsert_get_scan(spark, store):
+    from webcrawler_spark.storage import InvertedDocStore
+
+    idx = InvertedDocStore(store, n_buckets=8)
+    idx.upsert(spark, _docs(spark, [("a" * 64, "u1", "t1"), ("b" * 64, "u2", "t2")]), 1)
+    # S1: second batch overwrites id 'a', adds 'c'
+    idx.upsert(spark, _docs(spark, [("a" * 64, "u1", "t1-v2"), ("c" * 64, "u3", "t3")]), 2)
+
+    t = idx.read(spark)
+    assert t.count() == 3
+    got = {r["id"]: r["title"] for r in t.collect()}
+    assert got["a" * 64] == "t1-v2" and got["c" * 64] == "t3"
+
+    # S2: get by id
+    assert idx.get(spark, "b" * 64)["title"] == "t2"
+    assert idx.get(spark, "f" * 64) is None
+
+    # S3: scan limit
+    assert idx.scan(spark, limit=2).count() == 2
+
+    # deterministic partitioning: bucket column present and stable
+    b1 = {r["id"]: r["_bucket"] for r in t.collect()}
+    idx.upsert(spark, _docs(spark, [("d" * 64, "u4", "t4")]), 3)
+    b2 = {r["id"]: r["_bucket"] for r in idx.read(spark).collect()}
+    assert all(b2[k] == v for k, v in b1.items())
+
+
+def test_upsert_is_idempotent(spark, store):
+    from webcrawler_spark.storage import InvertedDocStore
+
+    idx = InvertedDocStore(store, n_buckets=8)
+    batch = _docs(spark, [("a" * 64, "u1", "t1")])
+    idx.upsert(spark, batch, 1)
+    idx.upsert(spark, batch, 1)  # re-run of a crashed commit
+    assert idx.read(spark).count() == 1

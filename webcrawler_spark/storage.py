@@ -91,3 +91,90 @@ class SnapshotStore:
         if m is None or table not in m.tables:
             return None
         return self.read_table(spark, table, m.tables[table])
+
+
+def reset(store: SnapshotStore) -> None:
+    """LinkQueue.init() semantics at table level (F4 —
+    crawler/InMemoryLinkQueue.java:54-59): clear every state table AND the
+    manifest, allowing all URLs to be re-enqueued in a fresh crawl."""
+    for name in os.listdir(store.root):
+        p = os.path.join(store.root, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+
+
+class InvertedDocStore:
+    """The Elasticsearch replacement (SURVEY §2.6): a deterministically
+    partitioned inverted-doc table with MERGE-style upsert by doc id.
+
+    - id is sha256(url) (README.md:68 designed it so) — deterministic, so
+      re-indexing a crawl is idempotent;
+    - rows are hash-partitioned on id into ``n_buckets`` (write-side
+      ``repartition(bucket)``), giving stable layout + bucket pruning for
+      id lookups at scale;
+    - upsert = anti-join old by id + union new (S1,
+      elasticsearch/ElasticRestClient.java:201-219); get/scan mirror S2/S3.
+    """
+
+    TABLE = "inverted_docs"
+
+    def __init__(self, store: SnapshotStore, n_buckets: int = 64) -> None:
+        self.store = store
+        self.n_buckets = n_buckets
+
+    def _bucket(self, id_col):
+        from pyspark.sql import functions as F
+
+        return F.pmod(
+            F.conv(F.substring(id_col, 1, 15), 16, 10).cast("long"),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def upsert(self, spark: SparkSession, docs: DataFrame, version: int) -> int:
+        """MERGE INTO … ON id: new rows win; returns the committed version."""
+        from pyspark.sql import functions as F
+
+        batch = docs.withColumn("_bucket", self._bucket(F.col("id")))
+        current = self.read(spark)
+        if current is not None:
+            keep = current.join(batch.select("id"), "id", "left_anti")
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        merged = merged.repartition(self.n_buckets, "_bucket")
+        self.store.write_table(merged, self.TABLE, version)
+        m = self.store.load_manifest() or Manifest()
+        m.tables[self.TABLE] = version
+        self.store.commit(m)
+        return version
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        return self.store.read_committed(spark, self.TABLE)
+
+    def get(self, spark: SparkSession, doc_id: str) -> Optional[dict]:
+        """S2 getDocument: id lookup (bucket-prunable: the predicate pins one
+        hash bucket)."""
+        from pyspark.sql import functions as F
+
+        t = self.read(spark)
+        if t is None:
+            return None
+        rows = (
+            t.filter(
+                (F.col("_bucket") == self._bucket(F.lit(doc_id)))
+                & (F.col("id") == doc_id)
+            )
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def scan(self, spark: SparkSession, limit: int = 1000) -> DataFrame:
+        """S3 searchAll: match_all with the reference's hardcoded size
+        (ElasticRestClient.java:260)."""
+        t = self.read(spark)
+        if t is None:
+            raise FileNotFoundError("inverted_docs table not committed")
+        return t.limit(limit)
