@@ -673,15 +673,28 @@ from orders
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with PLANTED duplicates: the raw documents table has no
+    byte-identical texts (a vacuous 0==0 green in round 1), so every 10th doc
+    is unioned back with a shifted id — the check now proves grouping, count
+    and keep_id=min semantics on real duplicate groups."""
     from webcrawler_spark.pipeline.dedup import exact_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return exact_duplicates(d).select("text_hash", "n_dups", "keep_id")
+    planted = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return exact_duplicates(d.unionByName(planted)).select(
+        "text_hash", "n_dups", "keep_id"
+    )
 
 
 _DEDUP_EXACT_SQL = """
+with docs as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000 as doc_id, text from documents where doc_id % 10 = 0)
 select sha256(text) as text_hash, count(*) as n_dups, min(doc_id) as keep_id
-from documents group by sha256(text) having count(*) > 1
+from docs group by sha256(text) having count(*) > 1
 """
 
 
@@ -753,6 +766,33 @@ select doc_id, ({bits})::bigint as simhash from sums
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-blocked SimHash near-dup pairs: pigeonhole on 4 8-bit bands,
+    exact Hamming verify ≤ 12 on candidates (loose threshold so the synthetic
+    corpus yields non-empty pairs — recall is band-bounded either way)."""
+    from webcrawler_spark.pipeline.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=12, n_bands=4).select("a", "b", "hamming")
+
+
+def _simhash_pairs_sql() -> str:
+    inner = _simhash_sql().replace("from documents", "from documents", 1)
+    return f"""
+with sig as ({inner}),
+blocks as (
+  select doc_id as id, simhash, b.band,
+         (simhash >> (b.band * 8)) & 255 as blk
+  from sig cross join (values (0), (1), (2), (3)) as b(band)),
+cand as (
+  select distinct l.id as a, r.id as b,
+         bit_count(xor(l.simhash, r.simhash))::int as hamming
+  from blocks l join blocks r
+    on l.band = r.band and l.blk = r.blk and l.id < r.id)
+select a, b, hamming from cand where hamming <= 12
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -795,6 +835,106 @@ scored as (
   from v cross join q where v.vec_id != q.q_id)
 select q_id, neighbor_id, cast(round(cos * 10000) as bigint) as cos_e4, rnk
 from (select *, row_number() over (partition by q_id order by cos desc, neighbor_id) as rnk from scored)
+where rnk <= 5
+"""
+
+
+def q_embed_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup pairs with PLANTED duplicates (every
+    50th vector re-appears under a shifted id): identical vectors share the
+    full sign sketch, so each planted pair must surface with cos == 1."""
+    from webcrawler_spark.pipeline.dedup import embedding_near_dupes
+
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    pairs = embedding_near_dupes(
+        e.unionByName(planted), threshold=0.95, n_planes=8, dim=64
+    )
+    return pairs.select("a", "b", _e(F.col("cos"), 4).alias("cos_e4"))
+
+
+_EMBED_NEAR_SQL = f"""
+with base as (
+  select vec_id, list_transform(embedding, x -> x::double) as e from embeddings
+  union all
+  select vec_id + 1000000, list_transform(embedding, x -> x::double)
+  from embeddings where vec_id % 50 = 0),
+coefs as (
+  select p.p, i.i,
+         (({_HASH64_SQL.format(x="p.p || ':' || i.i")} % 2001) - 1000)::double / 1000.0 as c
+  from range(0, 8) p(p), range(0, 64) i(i)),
+plane as (
+  select b.vec_id, c.p,
+         sum(b.e[c.i + 1] * c.c order by c.i) as dot
+  from base b join coefs c on true
+  group by b.vec_id, c.p),
+sk as (
+  select vec_id, sum(case when dot > 0 then (1 << p) else 0 end)::bigint as sk
+  from plane group by vec_id),
+v as (select b.vec_id, b.e, s.sk from base b join sk s using (vec_id)),
+pairs as (
+  select l.vec_id as a, r.vec_id as b,
+         round(list_dot_product(l.e, r.e) /
+               (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 4) as cos
+  from v l join v r on l.sk = r.sk and l.vec_id < r.vec_id)
+select a, b, cast(round(cos * 10000) as bigint) as cos_e4
+from pairs where cos >= 0.95
+"""
+
+
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: queries probe only their n_probe=2 nearest
+    centroid buckets (recall < 1 by design; the oracle reproduces the same
+    probe set, so outputs match exactly)."""
+    from webcrawler_spark.pipeline.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(e, centroids, queries, k=5, n_probe=2)
+    return out.select("q_id", "neighbor_id", _e(F.col("cos"), 4).alias("cos_e4"), "rnk")
+
+
+_IVF_TOPK_SQL = """
+with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+c as (select vec_id as cid, e as ce from v where vec_id % 37 = 0),
+q as (select vec_id as q_id, e as qe from v where vec_id < 10),
+assign as (
+  select vec_id, cid as centroid_id from (
+    select v.vec_id, c.cid,
+           row_number() over (
+             partition by v.vec_id
+             order by round(list_dot_product(v.e, c.ce) /
+                     (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 4) desc,
+                      c.cid asc) as rn
+    from v cross join c) where rn = 1),
+probes as (
+  select q_id, cid as centroid_id from (
+    select q.q_id, c.cid,
+           row_number() over (
+             partition by q.q_id
+             order by round(list_dot_product(q.qe, c.ce) /
+                     (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))), 4) desc,
+                      c.cid asc) as rn
+    from q cross join c) where rn <= 2),
+cand as (
+  select p.q_id, v.vec_id as neighbor_id,
+         round(list_dot_product(v.e, q.qe) /
+               (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 4) as cos
+  from probes p
+  join assign a on a.centroid_id = p.centroid_id
+  join v on v.vec_id = a.vec_id
+  join q on q.q_id = p.q_id
+  where v.vec_id != p.q_id)
+select q_id, neighbor_id, cast(round(cos * 10000) as bigint) as cos_e4, rnk
+from (select *, row_number() over (partition by q_id order by cos desc, neighbor_id asc) as rnk
+      from cand)
 where rnk <= 5
 """
 
@@ -940,8 +1080,10 @@ from documents
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode plumbing (deterministic fake codec) — rows-only
-    check (sha-byte-derived dims are not SQL-expressible)."""
+    """Arrow-batched decode plumbing (deterministic fake codec). The fake
+    decode is a pure sha256-byte function of the blob, so it IS
+    SQL-expressible — the DuckDB oracle recomputes (width, height,
+    n_channels) from hex slices of sha256(text)."""
     from webcrawler_spark.pipeline.multimodal import decode_batch
 
     d = _t(spark, sf_dir, "documents").select(
@@ -950,16 +1092,50 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_batch(d)
 
 
+# decode_image_fake (pipeline/multimodal.py): d = sha256(blob) digest;
+# width = 16 + int(d[0:2]) % 2032, height = 16 + int(d[2:4]) % 2032,
+# channels = 1 + d[4] % 4 — big-endian byte slices == hex-substring ints.
+_MULTIMODAL_DECODE_SQL = """
+select doc_id,
+       (16 + ('0x' || substr(sha256(text), 1, 4))::bigint % 2032)::int as width,
+       (16 + ('0x' || substr(sha256(text), 5, 4))::bigint % 2032)::int as height,
+       (1 + ('0x' || substr(sha256(text), 9, 2))::bigint % 4)::int as n_channels
+from documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (UDTF shape: 1 blob row → 10 frame rows);
+    frame digest = sha256(payload || ':' || frame_idx) — SQL-expressible."""
+    from webcrawler_spark.pipeline.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    return frame_sample(d, every_n=10, n_frames_total=100)
+
+
+def _frame_sample_sql() -> str:
+    vals = ", ".join(f"({i})" for i in range(0, 100, 10))
+    return f"""
+select doc_id, f.i::int as frame_idx,
+       sha256(text || ':' || f.i) as frame_sha
+from documents cross join (values {vals}) as f(i)
+"""
+
+
 def q_crawl_queue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full crawl on the bundled deterministic synthetic corpus: the LinkQueue
-    drain order reproduced by the §2.2 order theorem. Rows-only check here;
-    exact oracle equality vs the sequential reference BFS is asserted in
-    tests/test_spark_crawl.py."""
+    drain order reproduced by the §2.2 order theorem. The DuckDB oracle is the
+    sequential reference BFS itself: oracle.crawl_oracle runs at oracle_sql()
+    build time (pure Python, no Spark) and its queue order is embedded as a
+    VALUES literal — distributed engine vs single-threaded oracle, checked by
+    the driver's hash gate."""
     from webcrawler_spark.config import CrawlConfig
     from webcrawler_spark.corpus import generate_corpus
     from webcrawler_spark.rounds import run_crawl
 
-    corpus = generate_corpus(seed=42, n_hosts=4, n_pages=36)
+    corpus = generate_corpus(seed=11, n_hosts=4, n_pages=60)
     rows = [
         {"url": r["url"], "html": bytes(r["html"]), "lang": r["lang"], "warc_ts": r["warc_ts"]}
         for r in corpus.rows()
@@ -968,6 +1144,97 @@ def q_crawl_queue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = CrawlConfig(max_depth=1)
     res = run_crawl(spark, pages, corpus.seeds[0], cfg, with_processor=False)
     return res.queue
+
+
+def _crawl_queue_order_sql() -> str:
+    """Golden from the sequential oracle (pure Python — the same semantics the
+    reference's single-threaded BFS defines), embedded as literal rows."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.oracle import crawl_oracle
+
+    corpus = generate_corpus(seed=11, n_hosts=4, n_pages=60)
+    golden = crawl_oracle(
+        {u: h for u, (t, h, l) in corpus.pages.items()},
+        corpus.seeds[0],
+        CrawlConfig(max_depth=1),
+        with_processor=False,
+    ).queue_order
+    vals = ", ".join(
+        "('{u}', {p})".format(u=u.replace("'", "''"), p=p)
+        for p, u in enumerate(golden)
+    )
+    return f"select url, pos::bigint as pos from (values {vals}) t(url, pos) order by pos"
+
+
+_STATUS_CFG = dict(max_depth=2, content_rules={"minCharacter": 0, "tagName": "p"})
+
+
+def q_crawl_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl WITH processor on the planted corpus: every CrawlStatus —
+    OK / ERROR_FETCH / ERROR_PARSE (malformed markup, crawl_depth=maxDepth
+    quirk) / DUPLICATE (content-hash dedup) — plus the P2 fidelity columns
+    (http_status, fetch_duration_ms threaded from the pages table). Grouped
+    by status with checksums over pos/http_status/fetch_ms/content_length so
+    the hash gate pins per-doc values, not just counts."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.rounds import run_crawl
+
+    corpus = generate_corpus(seed=11, n_hosts=4, n_pages=60)
+    pages = spark.createDataFrame(corpus.rows())
+    cfg = CrawlConfig(**_STATUS_CFG)
+    res = run_crawl(spark, pages, corpus.seeds, cfg, with_processor=True)
+    return res.docs.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum("http_status").alias("sum_http"),
+        F.sum("fetch_duration_ms").alias("sum_fetch_ms"),
+        F.sum("content_length").alias("sum_clen"),
+        F.sum("crawl_depth").alias("sum_depth"),
+    )
+
+
+def _crawl_status_counts_sql() -> str:
+    """Golden from the sequential oracle with the same planted corpus."""
+    from collections import defaultdict
+
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.oracle import crawl_oracle
+
+    corpus = generate_corpus(seed=11, n_hosts=4, n_pages=60)
+    o = crawl_oracle(
+        {u: h for u, (t, h, l) in corpus.pages.items()},
+        corpus.seeds,
+        CrawlConfig(**_STATUS_CFG),
+        with_processor=True,
+        meta=corpus.meta,
+    )
+    agg: dict = defaultdict(lambda: [0, 0, None, None, 0, None])
+    for pos, d in enumerate(o.docs):
+        a = agg[d["status"]]
+        a[0] += 1
+        a[1] += pos
+        if d["http_status"] is not None:
+            a[2] = (a[2] or 0) + d["http_status"]
+        if d["fetch_duration_ms"] is not None:
+            a[3] = (a[3] or 0) + d["fetch_duration_ms"]
+        a[4] += d["content_length"]
+        if d["crawl_depth"] is not None:
+            a[5] = (a[5] or 0) + d["crawl_depth"]
+    def lit(v):
+        return "null::bigint" if v is None else str(v)
+    vals = ", ".join(
+        f"('{s}', {a[0]}, {lit(a[1])}, {lit(a[2])}, {lit(a[3])}, {lit(a[4])}, {lit(a[5])})"
+        for s, a in agg.items()
+    )
+    return (
+        "select status, n::bigint as n, sum_pos::bigint as sum_pos, "
+        "sum_http::bigint as sum_http, sum_fetch_ms::bigint as sum_fetch_ms, "
+        "sum_clen::bigint as sum_clen, sum_depth::bigint as sum_depth "
+        f"from (values {vals}) t(status, n, sum_pos, sum_http, sum_fetch_ms, sum_clen, sum_depth)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1015,17 +1282,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash_sig": q_dedup_simhash_sig,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_near_dupes": q_embed_near_dupes,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "embed_centroid_assign": q_embed_centroid_assign,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
-        # non-SQL-expressible (rows-only checks)
         "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         "crawl_queue_order": q_crawl_queue_order,
+        "crawl_status_counts": q_crawl_status_counts,
     }
 
 
@@ -1060,13 +1331,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": _MINHASH_SIG_SQL,
         "dedup_lsh_pairs": _LSH_PAIRS_SQL,
         "dedup_simhash_sig": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "embed_cosine_topk": _COSINE_TOPK_SQL,
+        "embed_near_dupes": _EMBED_NEAR_SQL,
+        "embed_ivf_topk": _IVF_TOPK_SQL,
         "embed_centroid_assign": _CENTROID_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_quality": _QUALITY_SQL,
         "text_langid": _langid_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "multimodal_meta": _MULTIMODAL_META_SQL,
-        # multimodal_decode, crawl_queue_order: intentionally omitted
+        "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+        "frame_sample": _frame_sample_sql(),
+        "crawl_queue_order": _crawl_queue_order_sql(),
+        "crawl_status_counts": _crawl_status_counts_sql(),
     }

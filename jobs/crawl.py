@@ -46,6 +46,11 @@ def main() -> int:
         "--salt-threshold", type=int, default=None,
         help="politeness mode: salt hosts with more pending urls than this",
     )
+    ap.add_argument(
+        "--timed-politeness", action="store_true",
+        help="use per-host next_allowed_ts clocks driven by the robots "
+        "table's crawl_delay_ms (requires --robots)",
+    )
     ap.add_argument("--use-bloom", action="store_true")
     ap.add_argument("--no-processor", action="store_true")
     args = ap.parse_args()
@@ -62,15 +67,24 @@ def main() -> int:
         config.per_host_budget = args.per_host_budget
 
     spark = get_spark(app_name="crawl")
+    # Warm the JVM (codegen/JIT) and the Python worker pool before the timed
+    # section — same convention as bench.py: measured wall is crawl compute,
+    # not one-time session startup (which a long-running crawler amortizes).
+    spark.range(1_000_000).mapInPandas(lambda it: it, "id long").selectExpr(
+        "sum(id)"
+    ).collect()
+
     t0 = time.monotonic()
+    phases = {}
     pages = spark.read.parquet(args.pages)
+    phases["read_pages"] = round(time.monotonic() - t0, 2)
     store = SnapshotStore(args.state_dir)
 
     if args.entry.startswith("@"):
-        import pyarrow.parquet as pq
-
-        seeds_tbl = pq.read_table(args.entry[1:])
-        entry = seeds_tbl.column("url").to_pylist()
+        # seeds stay distributed: a DataFrame entry never materializes the
+        # seed list on the driver (frontier-sized seed lists are the norm at
+        # 10^10 scale); seed_id carries the list order for pos 0..n-1
+        entry = spark.read.parquet(args.entry[1:])
     elif "," in args.entry:
         entry = [u for u in args.entry.split(",") if u]
     else:
@@ -83,6 +97,11 @@ def main() -> int:
     )
     if polite:
         robots_df = spark.read.parquet(args.robots) if args.robots else None
+        delays_df = None
+        if args.timed_politeness:
+            if robots_df is None or "crawl_delay_ms" not in robots_df.columns:
+                raise SystemExit("--timed-politeness requires --robots with crawl_delay_ms")
+            delays_df = robots_df.select("host", "crawl_delay_ms")
         res = run_polite_crawl(
             spark,
             pages,
@@ -90,8 +109,10 @@ def main() -> int:
             config,
             robots=robots_df,
             store=store,
+            with_processor=not args.no_processor,
             use_bloom=args.use_bloom,
             salt_threshold=args.salt_threshold,
+            delays=delays_df,
         )
     else:
         res = run_crawl(
@@ -109,6 +130,7 @@ def main() -> int:
     n_docs = 0
     if res.docs is not None:
         store.write_table(res.docs, "docs", config.max_depth)
+        phases["docs_write"] = round(time.monotonic() - t_rounds_done, 2)
         n_docs = store.read_table(spark, "docs", config.max_depth).count()
     if res.lineage:
         from webcrawler_spark.rounds import LINEAGE_SCHEMA
@@ -134,6 +156,8 @@ def main() -> int:
             {(l["round"], l["wall_ms"]) for l in res.lineage}
         ),
         "urls_per_sec": round((res.urls_enqueued + deduped) / wall, 2) if wall > 0 else None,
+        "phases": phases,
+        "engine_timings": res.timings,
         "state_dir": args.state_dir,
     }
     print(json.dumps(summary))

@@ -239,3 +239,34 @@ class TestJsoupTextFidelity:
 
     def test_entities_decoded_in_text(self):
         assert self._body_text("<html><body><p>a &amp; b</p></body></html>") == "a & b"
+
+
+# ---------------------------------------------------------------------------
+# deterministic parse failure (ERROR_PARSE trigger, kernel/dom.py nesting cap)
+# ---------------------------------------------------------------------------
+
+def test_nesting_cap_raises_parse_error():
+    from webcrawler_spark.kernel.dom import MAX_NESTING_DEPTH, ParseError, parse
+
+    deep = "<div>" * (MAX_NESTING_DEPTH + 10) + "x" + "</div>" * (MAX_NESTING_DEPTH + 10)
+    try:
+        parse("<html><body>" + deep + "</body></html>")
+        assert False, "expected ParseError"
+    except ParseError:
+        pass
+    # one below the cap parses fine (the guard is exact, not approximate)
+    ok = "<div>" * 200 + "x" + "</div>" * 200
+    doc = parse("<html><body>" + ok + "</body></html>")
+    assert doc.body() is not None
+
+
+def test_extract_page_propagates_parse_error():
+    from webcrawler_spark.kernel.dom import ParseError
+    from webcrawler_spark.kernel.extract import extract_page
+
+    bad = "<html><body>" + "<div>" * 400 + "x" + "</div>" * 400 + "</body></html>"
+    try:
+        extract_page(bad, "https://x.example.com/")
+        assert False, "expected ParseError"
+    except ParseError:
+        pass

@@ -331,3 +331,45 @@ def test_frame_sample_shape(spark, blobs):
     out = frame_sample(one, every_n=25, n_frames_total=100).collect()
     assert len(out) == 2 * 4
     assert sorted({r["frame_idx"] for r in out}) == [0, 25, 50, 75]
+
+
+def test_ivf_partitioned_write_prunes_input_files(spark, emb, tmp_path):
+    """The IVF scale path (similarity.py design note): assign_centroids output
+    written dir-partitioned by centroid_id gives partition pruning on the
+    probed read — the scan touches ONLY the probed buckets' files."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.pipeline.similarity import assign_centroids, assign_probes
+
+    centroids = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    out = str(tmp_path / "ivf_corpus")
+    assigned = assign_centroids(emb, centroids).select("vec_id", "centroid_id")
+    bucketed = emb.join(assigned, "vec_id")
+    bucketed.write.partitionBy("centroid_id").mode("overwrite").parquet(out)
+
+    table = spark.read.parquet(out)
+    all_files = set(table.inputFiles())
+    n_buckets = centroids.count()
+    assert len(all_files) >= n_buckets  # one dir (>=1 file) per centroid
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    probes = assign_probes(queries, centroids, n_probe=2)
+    probe_ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
+    pruned = table.filter(F.col("centroid_id").isin(probe_ids))
+    # the files the pruned scan ACTUALLY reads (input_file_name() evaluates
+    # inside the scan, after partition pruning — unlike inputFiles(), which
+    # reports the unpruned relation)
+    pruned_files = {
+        r["f"] for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert pruned_files < all_files
+    assert len(pruned_files) <= len(probe_ids) * max(
+        1, len(all_files) // n_buckets + 1
+    )
+    # and the plan carries the partition filter (not a post-scan filter)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan

@@ -85,16 +85,49 @@ def test_docs_match_oracle(spark, pages_df, small_corpus):
             )
         ],
     )
-    oracle, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=True)
+    oracle = crawl_oracle(
+        _corpus_dict(small_corpus), small_corpus.seeds[0], cfg,
+        with_processor=True, meta=small_corpus.meta,
+    )
+    from webcrawler_spark.rounds import run_crawl as _rc
+
+    result = _rc(spark, pages_df, small_corpus.seeds[0], cfg, with_processor=True)
     got = {r["url"]: r.asDict() for r in result.docs.collect()}
     assert set(got) == {d["url"] for d in oracle.docs}
     for d in oracle.docs:
         g = got[d["url"]]
-        for col in ("id", "domain", "status", "title", "content_length", "hash"):
+        for col in (
+            "id", "domain", "status", "title", "content_length", "hash",
+            "http_status", "fetch_duration_ms", "crawl_depth",
+        ):
             assert g[col] == d[col], f"{col} mismatch for {d['url']}: {g[col]!r} != {d[col]!r}"
         if d["status"] == "OK":
             assert list(g["contents"] or []) == d["contents"], d["url"]
             assert list(g["out_links"] or []) == d["out_links"], d["url"]
+
+
+def test_status_surface_matches_oracle(spark, pages_df, small_corpus):
+    """The planted corpus exercises every CrawlStatus: malformed markup ->
+    ERROR_PARSE (with the crawl_depth=maxDepth quirk, WebPageProcessor.java:224),
+    byte-identical page copies -> DUPLICATE (content-hash dedup, first queue
+    pos wins), dangling links -> ERROR_FETCH, and non-200 http statuses carried
+    through on OK docs (P2)."""
+    cfg = CrawlConfig(max_depth=2, content_rules={"minCharacter": 0, "tagName": "p"})
+    oracle = crawl_oracle(
+        _corpus_dict(small_corpus), small_corpus.seeds, cfg,
+        with_processor=True, meta=small_corpus.meta,
+    )
+    from webcrawler_spark.rounds import run_crawl as _rc
+
+    result = _rc(spark, pages_df, small_corpus.seeds, cfg, with_processor=True)
+    got = {r["url"]: r.asDict() for r in result.docs.collect()}
+    exp_statuses = {d["status"] for d in oracle.docs}
+    assert {"OK", "ERROR_FETCH", "ERROR_PARSE", "DUPLICATE"} <= exp_statuses
+    assert any(d["http_status"] not in (200, None) for d in oracle.docs)
+    for d in oracle.docs:
+        g = got[d["url"]]
+        for col in ("status", "http_status", "fetch_duration_ms", "crawl_depth", "hash"):
+            assert g[col] == d[col], f"{col} mismatch for {d['url']}: {g[col]!r} != {d[col]!r}"
 
 
 def test_text_column_byte_identical(spark, pages_df, small_corpus):
@@ -264,6 +297,113 @@ def test_polite_robots_statuses_match_oracle(spark, tiny_pages_df, tiny_corpus):
     # the corpus robots disallow /missing/ everywhere: dangling links must be
     # SKIPPED_ROBOTS (not ERROR_FETCH) when robots are honored
     assert any(s == "SKIPPED_ROBOTS" for _, s in got_status)
+
+
+def test_polite_mixed_depth_traversal_matches_oracle(spark):
+    """ADVICE r1 (medium): in a mixed-depth admitted round, a URL whose
+    grank-earliest harvester sits at max_depth must still be traversed when a
+    shallower co-admitted parent harvests it too (the oracle pushes via the
+    first DEPTH-ELIGIBLE harvester). Corpus engineered so round 4 co-admits
+    b1 (depth 2 == max_depth, grank 5) and c0 (depth 1, grank 6), both
+    linking to X: X's subtree (y0) must appear in the queue."""
+    from webcrawler_spark.oracle import crawl_oracle_polite
+    from webcrawler_spark.rounds import run_polite_crawl
+
+    def page(*links):
+        return (
+            "<html><body>"
+            + "".join(f'<a href="{u}">x</a>' for u in links)
+            + "</body></html>"
+        )
+
+    a0, a1, a2 = (f"https://a.example.com/{i}" for i in range(3))
+    b0, b1, b2 = (f"https://b.example.com/{i}" for i in range(3))
+    c0 = "https://c.example.com/0"
+    d0 = "https://d.example.com/0"
+    x = "https://e.example.com/x"
+    y0 = "https://y.example.com/0"
+    corpus = {
+        a0: page(b0, b2),
+        a1: page(),
+        a2: page(c0),
+        b0: page(b1),
+        b2: page(d0),
+        b1: page(x),   # max-depth harvester of x, lower grank
+        c0: page(x),   # depth-1 harvester of x, higher grank
+        d0: page(),
+        x: page(y0),   # must be traversed so y0 gets enqueued
+        y0: page(),
+    }
+    cfg = CrawlConfig(max_depth=2, per_host_budget=1)
+    oracle = crawl_oracle_polite(corpus, [a0, a1, a2], cfg)
+    assert y0 in oracle.queue_order  # the corpus really exercises the case
+
+    pages_df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in corpus.items()], "url string, html binary"
+    )
+    result = run_polite_crawl(spark, pages_df, [a0, a1, a2], cfg, with_processor=False)
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert result.rounds_run == oracle.rounds
+
+
+def test_robots_query_string_prefix(spark):
+    """ADVICE r1: disallow prefixes containing '?' must match (oracle and
+    engine agree on path+'?query' semantics)."""
+    from webcrawler_spark.operators.admission import apply_robots
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://h.example.com/search?q=x", 0),
+            ("https://h.example.com/search", 1),
+            ("https://h.example.com/other?q=x", 2),
+        ],
+        "url string, pos long",
+    )
+    robots = spark.createDataFrame(
+        [("h.example.com", ["/search?q="])], "host string, disallow array<string>"
+    )
+    allowed, blocked = apply_robots(frontier, robots)
+    assert {r["url"] for r in blocked.collect()} == {
+        "https://h.example.com/search?q=x"
+    }
+    assert allowed.count() == 2
+
+    from webcrawler_spark.oracle import _robots_blocked
+
+    rob = {"h.example.com": ["/search?q="]}
+    assert _robots_blocked("https://h.example.com/search?q=x", rob)
+    assert not _robots_blocked("https://h.example.com/search", rob)
+
+
+def test_timed_politeness_matches_oracle(spark, tiny_pages_df, tiny_corpus):
+    """Inter-round politeness clocks (README.md:55-57): crawl_delay_ms per
+    host, next_allowed_ts carried between rounds. One host's delay (25 s)
+    exceeds the 10 s window, so it admits one URL every 3rd round — state the
+    per-round budget alone cannot express; queue order and round count must
+    still match the sequential oracle exactly."""
+    from webcrawler_spark.oracle import crawl_oracle_polite
+    from webcrawler_spark.rounds import run_polite_crawl
+
+    cfg = CrawlConfig(max_depth=2, per_host_budget=3, politeness_window_ms=10_000)
+    hosts = sorted({u.split("/")[2] for u in tiny_corpus.pages})
+    delay_of = {h: [0, 2_000, 25_000, 4_000][i % 4] for i, h in enumerate(hosts)}
+    oracle = crawl_oracle_polite(
+        {u: h for u, (t, h, l) in tiny_corpus.pages.items()},
+        tiny_corpus.seeds, cfg, delays=delay_of, window_ms=10_000,
+    )
+    delays_df = spark.createDataFrame(
+        [(h, d) for h, d in delay_of.items()], "host string, crawl_delay_ms long"
+    )
+    result = run_polite_crawl(
+        spark, tiny_pages_df, tiny_corpus.seeds, cfg, delays=delays_df,
+        with_processor=False,
+    )
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert result.rounds_run == oracle.rounds
+    # the slow host really was throttled across rounds (not all in round 1)
+    assert oracle.rounds > 3
 
 
 def test_polite_salted_admission_same_sets(spark, tiny_pages_df, tiny_corpus):

@@ -41,6 +41,10 @@ class CrawlConfig:
     # engine-only extensions (reference README design, not in its code):
     per_host_budget: Optional[int] = None      # politeness: URLs/host/round
     obey_robots: bool = False
+    # virtual round length for timed politeness (README.md:55-57 designs
+    # politenessDelayMs 2000 ≈ 5 fetches per 10 s window): round r spans
+    # [r·W, (r+1)·W) ms and per-host next_allowed_ts carries between rounds
+    politeness_window_ms: int = 10_000
 
     def __post_init__(self) -> None:
         self._generic_rules: List[Rule] = build_rules(self.content_rules)
@@ -103,6 +107,7 @@ class CrawlConfig:
             pages=pages,
             per_host_budget=d.get("perHostBudget"),
             obey_robots=bool(d.get("obeyRobotsTxt", False)),
+            politeness_window_ms=d.get("politenessWindowMs", 10_000),
         )
 
     @classmethod

@@ -44,6 +44,10 @@ class SyntheticCorpus:
     seeds: List[str] = field(default_factory=list)
     robots: List[dict] = field(default_factory=list)
     hosts: List[str] = field(default_factory=list)
+    # url -> (http_status, fetch_ms): per-page fetch fidelity (P2). Jsoup's
+    # ignoreHttpErrors(true) means non-200 pages still parse -> OK docs carry
+    # their real http status (WebPageProcessor.java:149-153,176).
+    meta: Dict[str, Tuple[int, int]] = field(default_factory=dict)
 
     def html_of(self, url: str) -> Optional[str]:
         row = self.pages.get(url)
@@ -52,7 +56,11 @@ class SyntheticCorpus:
     def rows(self) -> List[dict]:
         out = []
         for url, (ts, html, lang) in self.pages.items():
-            body_text = extract_page(html, url).text
+            try:
+                body_text: Optional[str] = extract_page(html, url).text
+            except Exception:
+                body_text = None  # malformed page: the kernel's ERROR_PARSE path
+            status, fetch_ms = self.meta.get(url, (200, 0))
             out.append(
                 {
                     "url": url,
@@ -60,6 +68,8 @@ class SyntheticCorpus:
                     "html": html.encode("utf-8"),
                     "text": body_text,
                     "lang": lang,
+                    "http_status": status,
+                    "fetch_ms": fetch_ms,
                 }
             )
         return out
@@ -122,6 +132,29 @@ def _forum_html(rng: random.Random, title: str, links: List[str]) -> str:
     return "".join(buf)
 
 
+def _malformed_html(title: str) -> str:
+    """Pathologically nested markup that trips the kernel's deterministic
+    MAX_NESTING_DEPTH guard (kernel/dom.py) — the ERROR_PARSE fixture."""
+    depth = 300
+    return (
+        "<!doctype html><html><head><title>"
+        + title
+        + "</title></head><body>"
+        + "<div>" * depth
+        + "deep"
+        + "</div>" * depth
+        + "</body></html>"
+    )
+
+
+def _page_status(rng: random.Random) -> Tuple[int, int]:
+    """(http_status, fetch_ms): mostly 200, ~4% 404, ~3% 500 (still parsed —
+    ignoreHttpErrors semantics); deterministic synthetic fetch duration."""
+    r = rng.random()
+    status = 404 if r < 0.04 else (500 if r < 0.07 else 200)
+    return status, rng.randint(5, 1500)
+
+
 def _trivial_html(rng: random.Random, title: str, links: List[str]) -> str:
     """Trivial link page mirroring CrawlerServiceTest's in-process server pages,
     including mailto:/javascript:/#fragment noise links."""
@@ -150,6 +183,8 @@ def generate_corpus(
     dangling_frac: float = 0.05,
     dup_link_frac: float = 0.10,
     max_links_per_page: int = 12,
+    malformed_frac: float = 0.05,
+    dup_page_frac: float = 0.08,
 ) -> SyntheticCorpus:
     rng = random.Random(seed)
     hosts = [f"host{h:03d}.example.com" for h in range(n_hosts)]
@@ -166,6 +201,7 @@ def generate_corpus(
     all_urls = [u for urls in urls_by_host for u in urls]
 
     corpus = SyntheticCorpus(hosts=hosts)
+    _last_normal: Dict[str, str] = {}  # per-host most recent normal html
 
     for h, host in enumerate(hosts):
         for url in urls_by_host[h]:
@@ -190,15 +226,26 @@ def generate_corpus(
             ]
             kind = rng.random()
             title = f"Page {url.rsplit('/', 1)[1]} on {host}"
-            if kind < 0.45:
+            special = rng.random()
+            if special < malformed_frac:
+                # ERROR_PARSE fixture (no harvestable links by construction)
+                html = _malformed_html(title)
+            elif special < malformed_frac + dup_page_frac and _last_normal.get(host):
+                # byte-identical copy of an earlier same-host page: the
+                # DUPLICATE-status fixture (content-hash dedup, README.md:156)
+                html = _last_normal[host]
+            elif kind < 0.45:
                 html = _article_html(rng, title, links)
             elif kind < 0.7:
                 html = _forum_html(rng, title, links)
             else:
                 html = _trivial_html(rng, title, links)
+            if special >= malformed_frac + dup_page_frac:
+                _last_normal[host] = html
             ts = EPOCH + timedelta(seconds=rng.randint(0, 86400 * 30))
             lang = rng.choice(_LANGS)
             corpus.pages[url] = (ts, html, lang)
+            corpus.meta[url] = _page_status(rng)
 
     # seeds: first page of the largest few hosts
     corpus.seeds = [urls_by_host[h][0] for h in range(min(3, n_hosts))]
@@ -236,6 +283,9 @@ def write_parquet(corpus: SyntheticCorpus, out_dir: str) -> None:
             "lang": [r["lang"] for r in rows],
         }
     )
+    pages = pages.append_column(
+        "http_status", pa.array([r["http_status"] for r in rows], pa.int32())
+    ).append_column("fetch_ms", pa.array([r["fetch_ms"] for r in rows], pa.int64()))
     pq.write_table(pages, f"{out_dir}/pages.parquet")
     seeds = pa.table(
         {
@@ -271,6 +321,25 @@ def zipf_alloc(n_hosts: int, n_pages: int, zipf_s: float = 1.2) -> List[int]:
     return [max(1, round(n_pages * w / wsum)) for w in weights]
 
 
+def _page_decision(
+    seed: int, host_idx: int, page_idx: int,
+    malformed_frac: float = 0.05, dup_page_frac: float = 0.08,
+) -> Tuple[str, Optional[int]]:
+    """Pure per-page special-page decision: ('malformed'|'dup'|'normal', src).
+    Dup pages copy an earlier same-host NORMAL page (checking the target's own
+    decision keeps copies one level deep — indices strictly decrease, so the
+    check terminates)."""
+    rng = random.Random(f"{seed}:decide:host{host_idx:03d}:page{page_idx}")
+    r = rng.random()
+    if r < malformed_frac:
+        return "malformed", None
+    if r < malformed_frac + dup_page_frac and page_idx > 0:
+        t = rng.randrange(page_idx)
+        if _page_decision(seed, host_idx, t, malformed_frac, dup_page_frac)[0] == "normal":
+            return "dup", t
+    return "normal", None
+
+
 def _gen_page(seed: int, host_idx: int, page_idx: int, alloc: List[int],
               prefix: "object", total: int, n_hosts: int,
               intra_host_frac: float = 0.8, dangling_frac: float = 0.05,
@@ -280,12 +349,24 @@ def _gen_page(seed: int, host_idx: int, page_idx: int, alloc: List[int],
     Unlike ``generate_corpus`` (one shared sequential rng), every page gets its
     own ``random.Random(f"{seed}:{url}")``, so generation order — and hence
     Spark partitioning — cannot change the output.
+    Returns (url, ts, html, lang, http_status, fetch_ms).
     """
     import bisect
 
     host = f"host{host_idx:03d}.example.com"
     url = f"https://{host}/page/{page_idx}"
     rng = random.Random(f"{seed}:{url}")
+    decision, dup_src = _page_decision(seed, host_idx, page_idx)
+    title = f"Page {page_idx} on {host}"
+    if decision == "malformed":
+        ts = EPOCH + timedelta(seconds=rng.randint(0, 86400 * 30))
+        return url, ts, _malformed_html(title), rng.choice(_LANGS), *_page_status(rng)
+    if decision == "dup":
+        src = _gen_page(seed, host_idx, dup_src, alloc, prefix, total, n_hosts,
+                        intra_host_frac, dangling_frac, dup_link_frac,
+                        max_links_per_page)
+        ts = EPOCH + timedelta(seconds=rng.randint(0, 86400 * 30))
+        return url, ts, src[2], rng.choice(_LANGS), *_page_status(rng)
     n_links = rng.randint(0, max_links_per_page)
     links: List[str] = []
     for _ in range(n_links):
@@ -305,7 +386,6 @@ def _gen_page(seed: int, host_idx: int, page_idx: int, alloc: List[int],
         for l in links
     ]
     kind = rng.random()
-    title = f"Page {page_idx} on {host}"
     if kind < 0.45:
         html = _article_html(rng, title, links)
     elif kind < 0.7:
@@ -314,7 +394,7 @@ def _gen_page(seed: int, host_idx: int, page_idx: int, alloc: List[int],
         html = _trivial_html(rng, title, links)
     ts = EPOCH + timedelta(seconds=rng.randint(0, 86400 * 30))
     lang = rng.choice(_LANGS)
-    return url, ts, html, lang
+    return url, ts, html, lang, *_page_status(rng)
 
 
 def generate_pages_distributed(
@@ -335,6 +415,8 @@ def generate_pages_distributed(
     """
     from pyspark.sql.types import (
         BinaryType,
+        IntegerType,
+        LongType,
         StringType,
         StructField,
         StructType,
@@ -357,6 +439,8 @@ def generate_pages_distributed(
             StructField("html", BinaryType()),
             StructField("text", StringType()),
             StructField("lang", StringType()),
+            StructField("http_status", IntegerType()),
+            StructField("fetch_ms", LongType()),
         ]
     )
 
@@ -366,19 +450,29 @@ def generate_pages_distributed(
         import pandas as pd
 
         for pdf in batches:
-            urls, tss, htmls, texts, langs = [], [], [], [], []
+            urls, tss, htmls, texts, langs, stats, fms = [], [], [], [], [], [], []
             for gid in pdf["id"]:
                 gid = int(gid)
                 h = bisect.bisect_right(prefix, gid)
                 p = gid - (prefix[h - 1] if h > 0 else 0)
-                url, ts, html, lang = _gen_page(seed, h, p, alloc, prefix, total, n_hosts)
+                url, ts, html, lang, status, fetch_ms = _gen_page(
+                    seed, h, p, alloc, prefix, total, n_hosts
+                )
                 urls.append(url)
                 tss.append(ts.replace(tzinfo=None))
                 htmls.append(html.encode("utf-8"))
-                texts.append(extract_page(html, url).text)
+                try:
+                    texts.append(extract_page(html, url).text)
+                except Exception:
+                    texts.append(None)  # malformed page (ERROR_PARSE fixture)
                 langs.append(lang)
+                stats.append(status)
+                fms.append(fetch_ms)
             yield pd.DataFrame(
-                {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+                {
+                    "url": urls, "warc_ts": tss, "html": htmls, "text": texts,
+                    "lang": langs, "http_status": stats, "fetch_ms": fms,
+                }
             )
 
     return (

@@ -213,6 +213,19 @@ def normalise_whitespace(s: str) -> str:
     return "".join(accum)
 
 
+class ParseError(ValueError):
+    """Raised on markup the engine refuses to parse (the ERROR_PARSE path,
+    processor/WebPageProcessor.java:216-227). The one deterministic trigger is
+    the open-element stack cap below — real parsers carry equivalent guards
+    (Jsoup's tree builder bounds its stack searches; browsers cap nesting), and
+    a fixed cap keeps the failure deterministic across interpreters instead of
+    depending on the Python recursion limit."""
+
+
+# Maximum open-element nesting depth accepted by parse().
+MAX_NESTING_DEPTH = 256
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -243,6 +256,10 @@ class _TreeBuilder(HTMLParser):
         if tag in _DATA_TAGS:
             self._in_data_tag = tag
         if tag not in _VOID_TAGS and tag not in _DATA_TAGS:
+            if len(self.stack) > MAX_NESTING_DEPTH:
+                raise ParseError(
+                    f"markup nesting exceeds {MAX_NESTING_DEPTH} open elements"
+                )
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):

@@ -86,6 +86,82 @@ def salted_admit(
     return admitted.drop(*drop), deferred.drop(*drop)
 
 
+def timed_admit(
+    frontier: DataFrame,
+    per_host_budget: Optional[int],
+    delays: DataFrame,
+    host_state: DataFrame,
+    window_ms: int,
+    rnd: int,
+    order_cols: Sequence[str] = ("grank",),
+    host_col: str = "host",
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """Per-host admission with REAL inter-round politeness timing
+    (README.md:55-57: politenessDelayMs 2000 ≈ 5 fetches per 10 s window).
+
+    Deterministic virtual-time model: round ``rnd`` spans
+    [rnd·W, (rnd+1)·W) ms. Each host carries ``next_allowed_ts`` between
+    rounds (the frontier-table politeness window of the north_star). A host
+    with crawl delay d serving from t0 = max(next_allowed_ts, rnd·W) may admit
+
+        k = min(budget, ceil(((rnd+1)·W − t0) / d))       (d > 0)
+        k = budget                                         (d ≤ 0 / no delay)
+
+    URLs this round — every fetch STARTING before the round's end counts, so
+    k = #\{i ≥ 0 : t0 + i·d < (rnd+1)·W\} — and its clock advances to
+    t0 + served·d. A delay longer than the window admits one URL roughly
+    every d/W rounds, which is state the round counter alone cannot express.
+
+    ``delays``: (host, crawl_delay_ms) — small, broadcast.
+    ``host_state``: (host, next_allowed_ts) — one row per host EVER served
+    (missing host ⇒ 0). Returns (admitted, deferred, new_host_state); the
+    caller owns materializing new_host_state between rounds.
+    """
+    cols = [c for c in order_cols if c in frontier.columns]
+    d = F.broadcast(
+        delays.select(F.col("host").alias("_dh"), F.col("crawl_delay_ms").alias("_delay"))
+    )
+    s = host_state.select(
+        F.col("host").alias("_sh"), F.col("next_allowed_ts").alias("_nat")
+    )
+    fr = (
+        frontier.join(d, F.col(host_col) == F.col("_dh"), "left")
+        .join(F.broadcast(s), F.col(host_col) == F.col("_sh"), "left")
+        .withColumn("_delay", F.coalesce(F.col("_delay"), F.lit(0)))
+        .withColumn("_t0", F.greatest(F.coalesce(F.col("_nat"), F.lit(0)),
+                                      F.lit(rnd * window_ms).cast("long")))
+    )
+    budget_lit = F.lit(per_host_budget) if per_host_budget is not None else F.lit(None)
+    k = F.when(
+        F.col("_delay") > 0,
+        F.ceil((F.lit((rnd + 1) * window_ms) - F.col("_t0")) / F.col("_delay")),
+    ).otherwise(F.lit(2**62))
+    k = F.greatest(F.lit(0).cast("long"), k.cast("long"))
+    if per_host_budget is not None:
+        k = F.least(k, budget_lit.cast("long"))
+    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in cols])
+    ranked = fr.withColumn("_adm", F.row_number().over(w)).withColumn("_k", k)
+    admitted = ranked.filter(F.col("_adm") <= F.col("_k"))
+    deferred = ranked.filter(F.col("_adm") > F.col("_k"))
+    # clock update: hosts serving c URLs advance to t0 + c·delay; untouched
+    # hosts keep their old clock (anti-join + union keeps one row per host)
+    served = admitted.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("_served"),
+        F.max("_t0").alias("_t0"),
+        F.max("_delay").alias("_delay"),
+    )
+    updated = served.select(
+        "host",
+        (F.col("_t0") + F.col("_served") * F.col("_delay")).cast("long").alias(
+            "next_allowed_ts"
+        ),
+    )
+    kept = host_state.join(updated.select("host"), "host", "left_anti")
+    new_state = kept.unionByName(updated)
+    drop = ["_dh", "_delay", "_sh", "_nat", "_t0", "_adm", "_k"]
+    return admitted.drop(*drop), deferred.drop(*drop), new_state
+
+
 def apply_robots(
     frontier: DataFrame,
     robots: DataFrame,
@@ -95,8 +171,16 @@ def apply_robots(
     """Split frontier into (allowed, skipped_robots) by the per-host disallow
     prefix list (reference README.md:145-147 design; CrawlStatus.SKIPPED_ROBOTS
     model/CrawlStatus.java:10-11). Robots is small (one row per host) and
-    broadcast; prefix match on URL path."""
-    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    broadcast; prefix match on everything after the authority — path PLUS
+    '?query' — so disallow rules containing '?' (e.g. '/search?q=') work,
+    matching oracle._robots_blocked exactly."""
+    path = F.concat(
+        F.parse_url(F.col(url_col), F.lit("PATH")),
+        F.coalesce(
+            F.concat(F.lit("?"), F.parse_url(F.col(url_col), F.lit("QUERY"))),
+            F.lit(""),
+        ),
+    )
     r = robots.select(
         F.col("host").alias("_rhost"), F.col("disallow").alias("_disallow")
     )

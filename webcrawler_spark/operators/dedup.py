@@ -14,52 +14,69 @@ state is maintained per partition via cogrouped applyInPandas, with **explicit
 hot-host salting**: a host whose pending count exceeds ``salt_threshold``
 spreads across ``n_salts`` subpartitions (north_rule: "skew handled
 explicitly").
+
+Hashing is split JVM/numpy for scale (input_hint: "no per-row Python"):
+the two 64-bit base hashes per URL are computed as ``xxhash64`` COLUMNS
+(whole-stage codegen, the url string never crosses into Python), and the k
+probe positions derive from them inside the UDF with pure vectorized numpy
+(classic Kirsch–Mitzenmacher double hashing: pos_i = h1 + i*h2 mod m).
+The sidecar is maintained INCREMENTALLY: ``bloom_sidecar_build`` over a
+round's new_seen delta, then ``bloom_sidecar_merge`` (bitwise OR per bucket)
+into the persisted sidecar — never a rebuild over the full seen table.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
 # ---------------------------------------------------------------------------
-# Pure bloom-filter kernel (numpy bitset; k hash functions from sha256 slices)
+# Pure bloom kernel: numpy bitset over precomputed (h1, h2) base hashes
 # ---------------------------------------------------------------------------
 
 BLOOM_BITS_PER_KEY = 10          # ~1% fpr with k=7
 BLOOM_K = 7
+BLOOM_SEED2 = 0x9E3779B9         # second xxhash64 column's extra input
 
 
 def _bloom_size_bits(n_keys: int) -> int:
     return max(1024, 1 << int(math.ceil(math.log2(max(1, n_keys) * BLOOM_BITS_PER_KEY))))
 
 
-def _hash_positions(url: str, m_bits: int) -> List[int]:
-    d = hashlib.sha256(url.encode("utf-8")).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:16], "big") | 1
-    return [((h1 + i * h2) % m_bits) for i in range(BLOOM_K)]
+def bloom_hash_cols(url: Column) -> Tuple[Column, Column]:
+    """The two JVM-side base-hash columns every bloom op derives from."""
+    return F.xxhash64(url), F.xxhash64(url, F.lit(BLOOM_SEED2))
 
 
-def bloom_build(urls: List[str], m_bits: Optional[int] = None) -> bytes:
-    m = m_bits or _bloom_size_bits(len(urls))
-    bits = np.zeros(m // 8, dtype=np.uint8)
-    for u in urls:
-        for p in _hash_positions(u, m):
-            bits[p >> 3] |= 1 << (p & 7)
+def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, BLOOM_K) probe positions; m_bits must be a power of two."""
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    u1 = np.ascontiguousarray(h1, dtype=np.int64).view(np.uint64)
+    u2 = np.ascontiguousarray(h2, dtype=np.int64).view(np.uint64) | np.uint64(1)
+    ks = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((u1[:, None] + ks[None, :] * u2[:, None]) & np.uint64(m_bits - 1)).astype(
+        np.int64
+    )
+
+
+def bloom_build_hashed(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> bytes:
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(h1):
+        pos = _positions(h1, h2, m_bits)
+        masks = (1 << (pos & 7)).astype(np.uint8)
+        np.bitwise_or.at(bits, pos >> 3, masks)
     return bits.tobytes()
 
 
@@ -75,13 +92,15 @@ def bloom_merge(a: bytes, b: bytes) -> bytes:
     return out.tobytes()
 
 
-def bloom_maybe_contains(bitset: bytes, urls: pd.Series) -> np.ndarray:
+def bloom_maybe_contains_hashed(
+    bitset: bytes, h1: np.ndarray, h2: np.ndarray
+) -> np.ndarray:
     bits = np.frombuffer(bitset, dtype=np.uint8)
     m = len(bits) * 8
-    out = np.empty(len(urls), dtype=bool)
-    for i, u in enumerate(urls):
-        out[i] = all(bits[p >> 3] & (1 << (p & 7)) for p in _hash_positions(u, m))
-    return out
+    if not len(h1):
+        return np.zeros(0, dtype=bool)
+    pos = _positions(h1, h2, m)
+    return (((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) == 1).all(axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -115,11 +134,16 @@ def bloom_sidecar_build(
     url_col: str = "url",
     host_hash_col: str = "host_hash",
 ) -> DataFrame:
-    """Build the per-bucket bloom sidecar from the url_seen table.
+    """Build the per-bucket bloom sidecar from a url_seen table (or a round's
+    new_seen DELTA — see ``bloom_sidecar_merge`` for incremental maintenance).
 
     Buckets are host_hash % n_buckets, so a bucket's filter co-locates with
     the frontier partitioning. m_bits is fixed per sidecar so filters merge.
+    Only (bucket, h1, h2) int64 columns cross into Python — no URL strings,
+    no per-row hashing.
     """
+    h1, h2 = bloom_hash_cols(F.col(url_col))
+
     def build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Accumulate across the partition's arrow batches so each bucket
         # (hash-pinned to exactly one partition by the repartition below)
@@ -131,7 +155,9 @@ def bloom_sidecar_build(
                 continue
             for bucket, grp in pdf.groupby("_bucket"):
                 b = int(bucket)
-                built = bloom_build(list(grp[url_col]), m_bits)
+                built = bloom_build_hashed(
+                    grp["_h1"].to_numpy(), grp["_h2"].to_numpy(), m_bits
+                )
                 acc[b] = bloom_merge(acc[b], built) if b in acc else built
                 counts[b] = counts.get(b, 0) + len(grp)
         if acc:
@@ -144,11 +170,38 @@ def bloom_sidecar_build(
                 }
             )
 
-    with_bucket = seen.withColumn("_bucket", bucket_col(F.col(host_hash_col), n_buckets))
-    return (
-        with_bucket.repartition(n_buckets, "_bucket")
-        .mapInPandas(build, BLOOM_SCHEMA)
+    hashed = seen.select(
+        bucket_col(F.col(host_hash_col), n_buckets).alias("_bucket"),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
     )
+    return hashed.repartition(n_buckets, "_bucket").mapInPandas(build, BLOOM_SCHEMA)
+
+
+def bloom_sidecar_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two sidecars bucket-wise (both built with the same n_buckets
+    and m_bits). This is the per-round incremental maintenance op: merge the
+    new_seen delta's sidecar into the persisted one — O(|delta| + n_buckets)
+    instead of the O(|seen|) full rebuild."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: Optional[bytes] = None
+        n = 0
+        for bs in pdf["bitset"]:
+            b = bytes(bs)
+            acc = b if acc is None else bloom_merge(acc, b)
+            n += 1
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "m_bits": [int(pdf["m_bits"].iloc[0])],
+                "bitset": [acc],
+                "n_keys": [int(pdf["n_keys"].sum())],
+            }
+        )
+
+    u = base.unionByName(delta)
+    return u.groupBy("bucket").applyInPandas(merge, BLOOM_SCHEMA)
 
 
 def bloom_prefilter(
@@ -163,6 +216,7 @@ def bloom_prefilter(
     Cogroup by bucket: each task sees (candidate slice, its bloom row) —
     no broadcast of the full sidecar, no shuffle of the seen table.
     Returns (new, maybe); ``maybe`` still needs the exact anti-join.
+    The bitset probes are pure numpy over the JVM-computed (h1, h2) columns.
     """
     if host_hash_col in candidates.columns:
         hh = F.col(host_hash_col)
@@ -170,14 +224,20 @@ def bloom_prefilter(
         from ..functions import host_hash_col as _hh, parse_host
 
         hh = _hh(parse_host(F.col(url_col)))
-    cand = candidates.withColumn("_bucket", bucket_col(hh, n_buckets))
+    h1, h2 = bloom_hash_cols(F.col(url_col))
+    cand = (
+        candidates.withColumn("_bucket", bucket_col(hh, n_buckets))
+        .withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+    )
     side = sidecar.withColumnRenamed("bucket", "_bucket")
 
+    internal = {"_bucket", "_h1", "_h2"}
+    carry = [f.name for f in cand.schema.fields if f.name not in internal]
     out_schema = StructType(
-        [f for f in cand.schema.fields if f.name != "_bucket"]
+        [f for f in cand.schema.fields if f.name not in internal]
         + [StructField("_maybe", IntegerType())]
     )
-    carry = [f.name for f in cand.schema.fields if f.name != "_bucket"]
 
     def split(key, cand_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
         if cand_pdf.empty:
@@ -186,7 +246,9 @@ def bloom_prefilter(
             maybe = np.zeros(len(cand_pdf), dtype=bool)
         else:
             bitset = side_pdf.iloc[0]["bitset"]
-            maybe = bloom_maybe_contains(bytes(bitset), cand_pdf[url_col])
+            maybe = bloom_maybe_contains_hashed(
+                bytes(bitset), cand_pdf["_h1"].to_numpy(), cand_pdf["_h2"].to_numpy()
+            )
         out = cand_pdf[carry].copy()
         out["_maybe"] = maybe.astype("int32")
         return out
@@ -197,6 +259,38 @@ def bloom_prefilter(
     new = joined.filter(F.col("_maybe") == 0).drop("_maybe")
     maybe = joined.filter(F.col("_maybe") == 1).drop("_maybe")
     return new, maybe
+
+
+def flag_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    sidecar: Optional[DataFrame] = None,
+    url_col: str = "url",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The dedup gate as a FLAG instead of a filter: returns ``candidates``
+    with an int ``_dup`` column (1 = url already in ``seen``). Keeping the
+    duplicate rows lets the caller compute n_new, n_dup and lineage stats in
+    the same single pass that feeds ranking — no second count job.
+
+    PRECONDITION: ``seen`` is unique on ``url_col`` (the url_seen table is by
+    construction — each url is enqueued at most once); a non-unique seen side
+    would duplicate candidate rows through the left join.
+
+    With a ``sidecar``, bloom definite-no rows skip the join entirely and the
+    maybe-residue takes the exact left join — same semantics, less shuffle.
+    """
+    marker = seen.select(url_col).withColumn("_dup", F.lit(1))
+    if sidecar is None:
+        j = candidates.join(marker, url_col, "left")
+        return j.withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(0)))
+    new, maybe = bloom_prefilter(
+        candidates, sidecar, url_col=url_col, n_buckets=n_buckets
+    )
+    checked = maybe.join(marker, url_col, "left").withColumn(
+        "_dup", F.coalesce(F.col("_dup"), F.lit(0))
+    )
+    return new.withColumn("_dup", F.lit(0)).unionByName(checked)
 
 
 def dedup_against_seen(

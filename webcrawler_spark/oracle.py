@@ -76,6 +76,7 @@ def crawl_oracle(
     entry_url: str,
     config: CrawlConfig,
     with_processor: bool = True,
+    meta: Optional[Dict[str, Tuple[int, int]]] = None,
 ) -> OracleResult:
     """CrawlerService.crawl + worker consumption, sequentially.
 
@@ -124,7 +125,10 @@ def crawl_oracle(
         if html is None:
             continue
 
-        links = extract_page(html, url).links  # document order, abs-resolved
+        try:
+            links = extract_page(html, url).links  # document order, abs-resolved
+        except Exception:
+            continue  # malformed page: harvests nothing (ERROR_PARSE at doc time)
 
         if depth == max_depth:
             # enqueueFilteredLinks (CrawlerService.java:170-179): enqueue only
@@ -153,12 +157,40 @@ def crawl_oracle(
 
     if with_processor:
         for url in res.queue_order:
-            res.docs.append(process_url_oracle(corpus, url, config))
+            res.docs.append(process_url_oracle(corpus, url, config, meta=meta))
+        mark_duplicates(res.docs)
     return res
 
 
-def process_url_oracle(corpus: Dict[str, str], url: str, config: CrawlConfig) -> dict:
-    """WebPageProcessor.processUrl (:142-227) against the corpus 'fetch'."""
+def mark_duplicates(docs: List[dict]) -> None:
+    """Content-hash dedup (CrawlStatus.DUPLICATE, model/CrawlStatus.java:19-20;
+    README.md:156): among OK docs with identical NON-EMPTY contents, the first
+    by queue position stays OK, the rest become DUPLICATE. ``docs`` must be in
+    queue order (they are: built by iterating queue_order)."""
+    seen_keys: Set[str] = set()
+    for d in docs:
+        if d["status"] != "OK" or not d["contents"]:
+            continue
+        key = "".join(d["contents"])
+        if key in seen_keys:
+            d["status"] = "DUPLICATE"
+        else:
+            seen_keys.add(key)
+
+
+def process_url_oracle(
+    corpus: Dict[str, str],
+    url: str,
+    config: CrawlConfig,
+    meta: Optional[Dict[str, Tuple[int, int]]] = None,
+) -> dict:
+    """WebPageProcessor.processUrl (:142-227) against the corpus 'fetch'.
+
+    ``meta`` maps url -> (http_status, fetch_ms) (the corpus P2 fidelity
+    columns); absent -> 200/0. A kernel parse failure yields ERROR_PARSE with
+    the fetched http_status kept and the ``crawlDepth = maxDepth`` quirk
+    (WebPageProcessor.java:216-227, :224).
+    """
     html = corpus.get(url)
     if html is None:
         return {
@@ -167,6 +199,7 @@ def process_url_oracle(corpus: Dict[str, str], url: str, config: CrawlConfig) ->
             "domain": domain_of(url),
             "status": "ERROR_FETCH",
             "http_status": None,
+            "fetch_duration_ms": 0,
             "title": None,
             "contents": None,
             "content_length": 0,
@@ -174,21 +207,39 @@ def process_url_oracle(corpus: Dict[str, str], url: str, config: CrawlConfig) ->
             "hash": compute_hash_segments(url, None),
             "crawl_depth": None,
         }
+    http_status, fetch_ms = (meta or {}).get(url, (200, 0))
     rules = config.get_content_rules(url)
     match_all = config.match_all_by_url(url)
-    page = extract_page(
-        html,
-        url,
-        match_any_rules=None if match_all else rules,
-        match_all_rules=rules if match_all else None,
-    )
+    try:
+        page = extract_page(
+            html,
+            url,
+            match_any_rules=None if match_all else rules,
+            match_all_rules=rules if match_all else None,
+        )
+    except Exception:
+        return {
+            "id": None,
+            "url": url,
+            "domain": domain_of(url),
+            "status": "ERROR_PARSE",
+            "http_status": http_status,
+            "fetch_duration_ms": fetch_ms,
+            "title": None,
+            "contents": None,
+            "content_length": 0,
+            "out_links": None,
+            "hash": compute_hash_segments(url, None),
+            "crawl_depth": max(0, config.max_depth),  # the :224 quirk
+        }
     contents = page.segments
     return {
         "id": sha256_hex(url),
         "url": url,
         "domain": domain_of(url),
         "status": "OK",
-        "http_status": 200,
+        "http_status": http_status,
+        "fetch_duration_ms": fetch_ms,
         "title": page.title,
         "contents": contents,
         "content_length": content_length(contents),
@@ -237,6 +288,9 @@ def crawl_oracle_polite(
     config: CrawlConfig,
     robots: Optional[Dict[str, List[str]]] = None,
     max_rounds: int = 10_000,
+    meta: Optional[Dict[str, Tuple[int, int]]] = None,
+    delays: Optional[Dict[str, int]] = None,
+    window_ms: int = 10_000,
 ) -> PoliteOracleResult:
     """The reference BFS extended with the *designed* politeness + robots
     semantics (README.md:55-57,145-147 — declared, never implemented there;
@@ -251,6 +305,13 @@ def crawl_oracle_polite(
     - links of an admitted page are enqueued exactly as the base crawl
       (always-enqueue-accepted, queue dedup); children are pushed to pending
       iff unvisited and child depth <= maxDepth (harvest-only at maxDepth).
+    - with ``delays`` (host -> crawl_delay_ms): TIMED politeness. Round r
+      spans virtual time [r·W, (r+1)·W); a host serving from
+      t0 = max(next_allowed_ts, r·W) admits k = min(budget,
+      ceil(((r+1)·W − t0) / delay)) URLs (every fetch STARTING before round
+      end counts) and its clock advances to t0 + served·delay — the
+      inter-round politeness window state (README.md:55-57) mirrored by
+      admission.timed_admit.
     """
     res = PoliteOracleResult()
     queue = LinkQueueOracle()
@@ -276,19 +337,43 @@ def crawl_oracle_polite(
         res.visited.add(u)
         queue.enqueue(u)
 
+    next_allowed: Dict[str, int] = {}
     while pending and res.rounds < max_rounds:
+        r = res.rounds
         res.rounds += 1
         admitted: List[Tuple[str, int]] = []
         deferred: deque = deque()
         host_counts: Dict[str, int] = {}
+        host_k: Dict[str, float] = {}
+        host_t0: Dict[str, int] = {}
         for u, d in pending:
             h = domain_of(u) or ""
+            if h not in host_k:
+                delay = (delays or {}).get(h, 0)
+                t0 = max(next_allowed.get(h, 0), r * window_ms)
+                host_t0[h] = t0
+                if delay and delay > 0:
+                    import math
+
+                    # every fetch STARTING before round end counts (ceil):
+                    # k = #{i >= 0 : t0 + i*delay < (r+1)*W}
+                    k: float = max(0, math.ceil(((r + 1) * window_ms - t0) / delay))
+                else:
+                    k = float("inf")
+                if budget is not None:
+                    k = min(k, budget)
+                host_k[h] = k
             c = host_counts.get(h, 0)
-            if budget is None or c < budget:
+            if c < host_k[h]:
                 host_counts[h] = c + 1
                 admitted.append((u, d))
             else:
                 deferred.append((u, d))
+        if delays:
+            for h, c in host_counts.items():
+                delay = delays.get(h, 0)
+                if c > 0 and delay > 0:
+                    next_allowed[h] = host_t0[h] + c * delay
         pending = deferred
         res.admitted_per_round.append(len(admitted))
 
@@ -298,7 +383,11 @@ def crawl_oracle_polite(
             html = corpus.get(u)
             if html is None:
                 continue
-            for href, _pos in extract_page(html, u).links:
+            try:
+                harvested = extract_page(html, u).links
+            except Exception:
+                continue  # malformed page: harvests nothing
+            for href, _pos in harvested:
                 n = normalize_url(href)
                 if n is None or not is_accepted(n, includes, excludes):
                     continue
@@ -317,6 +406,7 @@ def crawl_oracle_polite(
                 "domain": domain_of(url),
                 "status": "SKIPPED_ROBOTS",
                 "http_status": None,
+                "fetch_duration_ms": 0,
                 "title": None,
                 "contents": None,
                 "content_length": 0,
@@ -325,6 +415,7 @@ def crawl_oracle_polite(
                 "crawl_depth": None,
             }
         else:
-            doc = process_url_oracle(corpus, url, config)
+            doc = process_url_oracle(corpus, url, config, meta=meta)
         res.docs.append(doc)
+    mark_duplicates(res.docs)
     return res

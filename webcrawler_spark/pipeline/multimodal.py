@@ -135,8 +135,9 @@ def frame_sample(
 
     The fake "container" has ``n_frames_total`` frames; emit every
     ``every_n``-th frame index with a deterministic per-frame digest (stands
-    in for the decoded frame tensor). Real codecs slot into the same
-    mapInPandas seam.
+    in for the decoded frame tensor): sha256(payload || ':' || frame_idx) —
+    NUL-free suffix so the DuckDB oracle can recompute it over VARCHAR.
+    Real codecs slot into the same mapInPandas seam.
     """
     out_schema = StructType(
         [
@@ -155,7 +156,7 @@ def frame_sample(
                     ids.append(rid)
                     idxs.append(i)
                     shas.append(
-                        hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(payload + b":" + str(i).encode()).hexdigest()
                     )
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_sha": shas})
 

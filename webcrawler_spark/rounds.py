@@ -7,8 +7,8 @@ One round = one idempotent Spark batch job per depth level (SURVEY §3.1
       → extraction kernel (mapInPandas)            -- title/segments/links
       → posexplode(links) → normalize → rlike filter
       → first-occurrence (groupBy url, min(parent_rank, link_pos))
-      → anti-join url_seen  → global_rank → append to queue/url_seen
-      → anti-join visited   → traverse_{d+1}
+      → seen-flag join → bucketed global rank → append to queue/url_seen
+      → traversal slice → traverse_{d+1}
 
 The §2.2 order theorem makes the distributed queue order equal the reference's
 single-threaded FIFO drain order: enqueue order is (depth, parent's dequeue
@@ -17,8 +17,25 @@ occurrence only. maxDepth semantics (harvest-but-don't-traverse,
 CrawlerService.java:127-131) and the entry-enqueue-only-with-processor guard
 (:110-116) are mirrored exactly.
 
-Checkpoint/resume: with a SnapshotStore, each round's state tables are written
-and re-read (also truncating the lineage DAG); the manifest commits the round
+Scale design (north_rule: ≥0.8 scaling efficiency N→4N): a round runs exactly
+TWO driver-synchronized jobs —
+
+1. one stats job: the whole fetch→parse→harvest→dedup chain evaluates once
+   into a persisted round table, and a single GROUPING SETS aggregate returns
+   per-bucket rank offsets, per-partition lineage stats, and the dedup counts
+   in one ≤(buckets+32)-row collect;
+2. one materialization job: queue positions and traversal ranks are assigned
+   with bucket-local running sums + the driver prefix-sum offsets (no
+   single-partition row_number, no range-sampling pass), and the resulting
+   round table is checkpointed (or written to the SnapshotStore).
+
+Rank bucketing needs no RangePartitioner: parent ranks are dense in
+[0, frontier), so floor(parent_rank·nb/frontier) is an explicit, deterministic,
+monotone bucket id — value-determined, hence stable across job re-runs without
+pinning a physical layout.
+
+Checkpoint/resume: with a SnapshotStore, each round's table is written and
+re-read (also truncating the lineage DAG); the manifest commits the round
 atomically. A re-run of a crashed round overwrites its versioned dirs —
 idempotent by construction.
 """
@@ -27,9 +44,9 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional, Set
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -49,10 +66,15 @@ from .functions import (
     parse_host,
 )
 from .kernel.urlnorm import normalize_url
-from .operators.dedup import anti_join_new, bloom_sidecar_build, dedup_against_seen
-from .operators.ordering import first_occurrence, global_rank
+from .operators.dedup import (
+    anti_join_new,
+    bloom_sidecar_build,
+    bloom_sidecar_merge,
+    flag_seen,
+)
+from .operators.ordering import first_occurrence
 from .storage import Manifest, SnapshotStore
-from .udfs import extract_schema_with, make_extract_pages
+from .udfs import extract_schema_with, make_extract_pages, normalize_url_udf
 
 SEEN_SCHEMA = StructType(
     [
@@ -75,9 +97,23 @@ LINEAGE_SCHEMA = StructType(
     ]
 )
 
+# Broadcasting the frontier side keeps the html-bearing pages table from ever
+# shuffling. Gate on rows as a proxy for bytes: ~100 B per (url, rank) row
+# puts 1M rows ≈ 100 MB serialized — near the sane ceiling for an explicit
+# broadcast hint (which bypasses autoBroadcastJoinThreshold). Beyond this the
+# join degrades to shuffle; a cluster deployment co-locates by bucketing pages
+# and frontier on url instead.
+BROADCAST_FRONTIER_ROWS = 1_000_000
+
+N_LINEAGE_PARTS = 32
+
+# Seed DataFrames at or under this many rows are collected to the driver and
+# take the (much cheaper) list path; see _seed_frontier.
+SEED_COLLECT_MAX = 250_000
+
 
 def _seed_df(spark: SparkSession, starts: List[str], extra: tuple) -> DataFrame:
-    """Distributed, materialized seed frontier.
+    """Distributed, materialized seed frontier from a driver-side list.
 
     Built via the Arrow (pandas) path and immediately localCheckpointed:
     a plain createDataFrame stays a driver-LOCAL relation that every
@@ -103,6 +139,115 @@ def _seed_df(spark: SparkSession, starts: List[str], extra: tuple) -> DataFrame:
     return df.repartition(par).localCheckpoint(eager=True)
 
 
+def _seed_frontier(
+    spark: SparkSession, entry_url, extra: tuple
+) -> Tuple[Optional[DataFrame], int]:
+    """Normalize/dedup/rank the seed list into the round-0 frontier.
+
+    ``entry_url`` may be a single URL, a Python list (reference semantics /
+    README seed-list design), or a **DataFrame** with a ``url`` column and an
+    optional ``seed_id`` order column — the scale path: seeds never touch the
+    driver; dedup and dense rank assignment run distributed (VERDICT r1 #8).
+
+    Returns (frontier, n_seeds); frontier is None when no valid seed remains.
+    Dense rank 0..n-1 in list order with first-occurrence dedup either way.
+
+    Seed DataFrames at or under ``SEED_COLLECT_MAX`` rows take the driver-list
+    path instead: a handful of MB on the driver beats the 4-job distributed
+    dedup/rank pipeline (pandas-UDF normalize + persist + 2 collects +
+    checkpoint ≈ seconds of fixed serial cost, the kind that caps N→4N
+    scaling efficiency). The distributed path is for genuinely frontier-sized
+    seed lists.
+    """
+    if isinstance(entry_url, DataFrame):
+        seeds = entry_url
+        if seeds.count() <= SEED_COLLECT_MAX:
+            s = seeds.orderBy("seed_id") if "seed_id" in seeds.columns else seeds
+            entry_url = [r["url"] for r in s.select("url").collect()]
+            return _seed_frontier(spark, entry_url, extra)
+        if "seed_id" not in seeds.columns:
+            # file/row order is the list order contract; ids only need to be
+            # monotone in that order for first-occurrence + ranking
+            seeds = seeds.withColumn("seed_id", F.monotonically_increasing_id())
+        norm = seeds.select(
+            normalize_url_udf(F.col("url")).alias("url"), F.col("seed_id")
+        ).filter(F.col("url").isNotNull())
+        first = first_occurrence(norm, "url", ["seed_id"]).persist()
+        # one stats job: per-bucket counts for the dense rank + max id for
+        # bucketing. seed_id is NOT dense (dropped invalids/dups), so bucket
+        # on its value range; ranks come out dense via the prefix sums.
+        nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        hi_row = first.select(
+            F.max("seed_id").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        n_seeds = hi_row["n"]
+        if not n_seeds:
+            first.unpersist()
+            return None, 0
+        bkt = _bucket_expr(F.col("seed_id"), int(hi_row["hi"]) + 1, nb)
+        b = first.withColumn("_bkt", bkt)
+        counts = {
+            r["_bkt"]: r["n"]
+            for r in b.groupBy("_bkt").agg(F.count("*").alias("n")).collect()
+        }
+        off, _ = _offset_map_expr("_bkt", counts, 0)
+        w = Window.partitionBy("_bkt").orderBy("seed_id")
+        out_cols = [F.col("url")]
+        rank_col = (F.row_number().over(w) - 1 + off).cast("long")
+        if "rank" in extra:
+            out_cols.append(rank_col.alias("rank"))
+        if "grank" in extra:
+            out_cols.append(rank_col.alias("grank"))
+        if "depth" in extra:
+            out_cols.append(F.lit(0).alias("depth"))
+        frontier = b.select(*out_cols).localCheckpoint(eager=True)
+        first.unpersist()
+        return frontier, n_seeds
+
+    seed_list = [entry_url] if isinstance(entry_url, str) else list(entry_url)
+    starts: List[str] = []
+    _start_set: Set[str] = set()  # list membership is O(n) -> O(n^2) over big seed lists
+    for s in seed_list:
+        n = normalize_url(s)
+        if n is not None and n not in _start_set:
+            _start_set.add(n)
+            starts.append(n)
+    if not starts:
+        return None, 0
+    return _seed_df(spark, starts, extra), len(starts)
+
+
+def _bucket_expr(col: Column, hi: int, nb: int) -> Column:
+    """Monotone equal-width bucket id in [0, nb) for an integer key known to
+    lie in [0, hi). Being a pure column expression (unlike a sampled
+    RangePartitioner), it is deterministic across re-evaluations — the rank
+    offsets computed from one job remain valid in the next."""
+    hi = max(1, hi)
+    return F.least(F.lit(nb - 1), F.floor(col * nb / hi)).cast("int")
+
+
+def _offset_map_expr(
+    bucket_col: str, counts: Dict[int, int], start: int
+) -> Tuple[Column, int]:
+    """Driver prefix-sum over per-bucket counts -> literal-map lookup column.
+    Returns (offset expression, total)."""
+    acc = start
+    kv: List[Column] = []
+    for b in sorted(counts):
+        kv.extend([F.lit(b), F.lit(acc)])
+        acc += counts[b]
+    if not kv:
+        return F.lit(start), acc
+    return F.element_at(F.create_map(*kv), F.col(bucket_col)), acc
+
+
+def _running(flag_zero_col: str, w: Window) -> Column:
+    """Running count (1-based) of rows whose ``flag_zero_col`` == 0, under a
+    rows-unbounded-preceding window. Unlike row_number over a filtered view,
+    this lets several differently-filtered ranks share one sorted pass."""
+    return F.sum(1 - F.col(flag_zero_col)).over(w)
+
+
 @dataclass
 class CrawlResult:
     queue: DataFrame            # (url, pos) — LinkQueue drain order
@@ -112,6 +257,18 @@ class CrawlResult:
     lineage: List[dict] = field(default_factory=list)
     rounds_run: int = 0
     urls_enqueued: int = 0
+    timings: List[dict] = field(default_factory=list)  # per-phase wall diagnostics
+
+
+def _empty_result(spark: SparkSession, with_processor: bool) -> CrawlResult:
+    empty_seen = spark.createDataFrame([], SEEN_SCHEMA)
+    res = CrawlResult(
+        queue=empty_seen.select("url", "pos"),
+        seen=empty_seen,
+        visited=empty_seen.select("url"),
+        docs=spark.createDataFrame([], _docs_schema()) if with_processor else None,
+    )
+    return res
 
 
 def run_crawl(
@@ -126,31 +283,25 @@ def run_crawl(
 ) -> CrawlResult:
     """CrawlerService.crawl(entryUrl, waitForCompletion=True) as batch rounds.
 
-    ``entry_url`` may be a single URL (reference semantics) or a seed list
-    (README.md seed-list design): seeds occupy queue positions 0..n-1 in list
-    order with first-occurrence dedup, and round 0 traverses all of them.
+    ``entry_url`` may be a single URL (reference semantics), a seed list
+    (README.md seed-list design), or a seeds DataFrame (url [, seed_id]):
+    seeds occupy queue positions 0..n-1 in list order with first-occurrence
+    dedup, and round 0 traverses all of them.
     """
-    seed_list = [entry_url] if isinstance(entry_url, str) else list(entry_url)
-    starts: List[str] = []
-    _start_set: Set[str] = set()  # list membership is O(n) -> O(n^2) over big seed lists
-    for s in seed_list:
-        n = normalize_url(s)
-        if n is not None and n not in _start_set:
-            _start_set.add(n)
-            starts.append(n)
+    _t0 = time.monotonic()
+    traverse, n_seeds = _seed_frontier(spark, entry_url, ("rank",))
+    if traverse is None:
+        return _empty_result(spark, with_processor)
     res = CrawlResult(queue=None, seen=None, visited=None, docs=None)  # type: ignore[arg-type]
-    if not starts:
-        empty_seen = spark.createDataFrame([], SEEN_SCHEMA)
-        res.queue = empty_seen.select("url", "pos")
-        res.seen = empty_seen
-        res.visited = empty_seen.select("url")
-        if with_processor:
-            res.docs = spark.createDataFrame([], _docs_schema())
-        return res
+    res.timings.append({"phase": "seed_frontier", "ms": int((time.monotonic() - _t0) * 1000)})
 
     max_depth = max(0, config.max_depth)
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    traverse = _seed_df(spark, starts, ("rank",))
+    # With the processor, seeds are enqueued (CrawlerService.java:110-116) and
+    # the seen set and traversal set then evolve IDENTICALLY (both gain
+    # exactly the round's first-occurrence anti-seen rows) — one flag serves
+    # both. Without it, the sets differ and a second visited-flag join runs.
     visited = traverse.select("url")
     if with_processor:
         seen = traverse.select(
@@ -159,31 +310,35 @@ def run_crawl(
             host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
             F.lit(0).alias("first_depth"),
         )
-        queue_size = len(starts)
+        queue_size = n_seeds
     else:
         seen = spark.createDataFrame([], SEEN_SCHEMA)
         queue_size = 0
+
+    sidecar = None
+    if use_bloom:
+        sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
 
     extract_fn, _ = make_extract_pages(config, carry_cols=["rank"])
     extract_out = extract_schema_with([StructField("rank", LongType())])
 
     lineage: List[dict] = []
-
-    frontier_rows = len(starts)  # known exactly each round; drives the join strategy
+    frontier_rows = n_seeds
 
     for depth in range(0, max_depth + 1):
         t0 = time.monotonic()
-        # Broadcast the frontier side while it fits: the pages table (with its
-        # html payload) then never shuffles — it streams through a broadcast
-        # hash join. At true 10^10-frontier scale the frontier side outgrows
-        # broadcast and this degrades to the shuffle join; a cluster deployment
-        # co-locates by bucketing pages and frontier on url instead.
-        trav_side = F.broadcast(traverse) if frontier_rows <= 5_000_000 else traverse
+        trav_side = (
+            F.broadcast(traverse) if frontier_rows <= BROADCAST_FRONTIER_ROWS else traverse
+        )
         fetched = pages.select("url", "html").join(trav_side, "url", "inner")
-        # persist the extraction output: three downstream consumers (link
-        # pipeline, fetch count, traversal frontier) would otherwise each
-        # re-run the mapInPandas HTML parse — the most expensive op per round
-        extracted = fetched.mapInPandas(extract_fn, extract_out).persist()
+        # round-robin the joined (fetched) rows before the Python stage: the
+        # corpus is host-clustered on disk, so the join output is skewed
+        # across scan partitions — and a scan-partition-aligned mapInPandas
+        # pays Arrow/worker pipeline setup on dozens of near-empty tasks.
+        # One narrow shuffle of only the FETCHED pages (not the whole table)
+        # balances parse work and collapses the Python stage to |cores| tasks.
+        fetched = fetched.repartition(spark.sparkContext.defaultParallelism)
+        extracted = fetched.mapInPandas(extract_fn, extract_out)
 
         # hrefs come out of the kernel already normalized and null-free
         links = extracted.select(
@@ -194,80 +349,134 @@ def run_crawl(
             F.col("link.pos").alias("link_pos"),
             F.col("link.href").alias("url"),
         )
-
         accepted = links.filter(
             accepted_by_filters(
                 F.col("url"), config.include_url_patterns, config.exclude_url_patterns
             )
         )
-
-        # first occurrence within the round (intra-round self-dedup, SURVEY §7 #3)
-        # persisted: consumed by both the enqueue path and the traversal path
-        first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"]).persist()
-
-        sidecar = None
-        if use_bloom:
-            sidecar = bloom_sidecar_build(seen)
-        new_urls = dedup_against_seen(first, seen, sidecar=sidecar)
-        ranked = global_rank(
-            new_urls, ["parent_rank", "link_pos"], out_col="pos", offset=queue_size
-        )
-        new_seen = ranked.select(
-            "url",
-            "pos",
-            host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
-            F.lit(depth).alias("first_depth"),
-        )
-
-        # --- materialize round state (checkpoint or local truncation) -------
-        if store is not None:
-            store.write_table(new_seen, "seen_delta", depth)
-            new_seen = store.read_table(spark, "seen_delta", depth)
+        # first occurrence within the round (intra-round self-dedup) then the
+        # seen flag — a LEFT join (not anti) so dup rows ride into the stats
+        first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"])
+        flagged = flag_seen(first, seen, sidecar=sidecar)
+        if with_processor:
+            flagged = flagged.withColumn("_vis", F.col("_dup"))
         else:
-            new_seen = new_seen.localCheckpoint(eager=True)
-
-        # per-partition lineage rows (north_rule); n_new derived from their
-        # sum — the materialized new_seen is scanned once, not counted twice
-        part_rows = (
-            new_seen.groupBy(
-                F.pmod(F.col("host_hash"), F.lit(32)).cast("int").alias("partition_id")
+            vm = visited.select("url").withColumn("_v", F.lit(1))
+            flagged = (
+                flagged.join(vm, "url", "left")
+                .withColumn("_vis", F.coalesce(F.col("_v"), F.lit(0)))
+                .drop("_v")
             )
+        b = (
+            flagged.withColumn("host_hash", host_hash_col(parse_host(F.col("url"))))
+            .withColumn("_bkt", _bucket_expr(F.col("parent_rank"), frontier_rows, nb))
+            .withColumn(
+                "_part",
+                F.pmod(F.col("host_hash"), F.lit(N_LINEAGE_PARTS)).cast("int"),
+            )
+            .persist()
+        )
+
+        # ---- job 1: evaluate the chain once; all round stats in one collect
+        stats = (
+            b.groupingSets([["_bkt"], ["_part"]], "_bkt", "_part")
             .agg(
-                F.countDistinct("host_hash").alias("hosts_served"),
-                F.count("*").alias("urls_fetched"),
+                F.sum(1 - F.col("_dup")).alias("n_new"),
+                F.sum("_dup").alias("n_dup"),
+                F.sum(1 - F.col("_vis")).alias("n_trav"),
+                F.count_distinct(
+                    F.when(F.col("_dup") == 0, F.col("host_hash"))
+                ).alias("hosts"),
+                F.grouping_id().alias("_gid"),
             )
             .collect()
         )
-        n_new = sum(r["urls_fetched"] for r in part_rows)
-        n_first = first.count()  # cached; dedup delta = n_first - n_new
+        bkt_rows = [r for r in stats if r["_gid"] == 1]
+        part_rows = [r for r in stats if r["_gid"] == 2 and r["n_new"]]
+        n_new = sum(r["n_new"] for r in bkt_rows)
+        n_dup = sum(r["n_dup"] for r in bkt_rows)
+        n_trav = sum(r["n_trav"] for r in bkt_rows)
+        res.timings.append(
+            {"phase": f"r{depth}_stats", "ms": int((time.monotonic() - t0) * 1000)}
+        )
+        _tm = time.monotonic()
+
+        # ---- job 2: assign pos/rank via bucket running sums, materialize
+        pos_off, _ = _offset_map_expr(
+            "_bkt", {r["_bkt"]: r["n_new"] for r in bkt_rows}, queue_size
+        )
+        trav_off, _ = _offset_map_expr(
+            "_bkt", {r["_bkt"]: r["n_trav"] for r in bkt_rows}, 0
+        )
+        w = Window.partitionBy("_bkt").orderBy("parent_rank", "link_pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        round_tbl = (
+            b.filter((F.col("_dup") == 0) | (F.col("_vis") == 0))
+            .withColumn(
+                "pos",
+                F.when(
+                    F.col("_dup") == 0,
+                    (_running("_dup", w) - 1 + pos_off).cast("long"),
+                ),
+            )
+            .withColumn(
+                "rank",
+                F.when(
+                    F.col("_vis") == 0,
+                    (_running("_vis", w) - 1 + trav_off).cast("long"),
+                ),
+            )
+            .select("url", "host_hash", "pos", "rank")
+        )
+        if store is not None:
+            store.write_table(round_tbl, "round", depth)
+            round_tbl = store.read_table(spark, "round", depth)
+        else:
+            round_tbl = round_tbl.localCheckpoint(eager=True)
+        b.unpersist()
+        res.timings.append(
+            {"phase": f"r{depth}_mat", "ms": int((time.monotonic() - _tm) * 1000)}
+        )
+
+        new_seen = round_tbl.filter(F.col("pos").isNotNull()).select(
+            "url", "pos", "host_hash", F.lit(depth).alias("first_depth")
+        )
         seen = seen.unionByName(new_seen)
         queue_size += n_new
+        if use_bloom:
+            sidecar = bloom_sidecar_merge(
+                sidecar, bloom_sidecar_build(new_seen)
+            ).localCheckpoint(eager=True)
 
         if depth < max_depth:
-            cand = anti_join_new(first, visited)
-            traverse_next = global_rank(
-                cand, ["parent_rank", "link_pos"], out_col="new_rank"
-            ).select("url", F.col("new_rank").alias("rank"))
-            if store is not None:
-                store.write_table(traverse_next, "traverse", depth + 1)
-                traverse_next = store.read_table(spark, "traverse", depth + 1)
-            else:
-                traverse_next = traverse_next.localCheckpoint(eager=True)
-            visited = visited.unionByName(traverse_next.select("url"))
-            traverse = traverse_next
-            frontier_rows = traverse_next.count()  # materialized; also the stop check
-        extracted.unpersist()
-        first.unpersist()
-        wall_ms = int((time.monotonic() - t0) * 1000)
+            traverse = round_tbl.filter(F.col("rank").isNotNull()).select("url", "rank")
+            visited = visited.unionByName(traverse.select("url"))
+            frontier_rows = n_trav
 
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        if not part_rows:
+            # keep ≥1 lineage row per round so round-level dedup counts
+            # survive all-duplicate rounds (they feed the throughput metric)
+            lineage.append(
+                {
+                    "round": depth,
+                    "partition_id": -1,
+                    "hosts_served": 0,
+                    "urls_fetched": 0,
+                    "urls_deduped": n_dup,
+                    "frontier_delta": 0,
+                    "wall_ms": wall_ms,
+                }
+            )
         for r in part_rows:
             lineage.append(
                 {
                     "round": depth,
-                    "partition_id": r["partition_id"],
-                    "hosts_served": r["hosts_served"],
-                    "urls_fetched": r["urls_fetched"],
-                    "urls_deduped": n_first - n_new,
+                    "partition_id": r["_part"],
+                    "hosts_served": r["hosts"],
+                    "urls_fetched": r["n_new"],
+                    "urls_deduped": n_dup,
                     "frontier_delta": n_new,
                     "wall_ms": wall_ms,
                 }
@@ -277,13 +486,19 @@ def run_crawl(
         if depth < max_depth and frontier_rows == 0:
             break
 
+    _tw = time.monotonic()
     if store is not None:
         store.write_table(seen, "url_seen", max_depth)
         seen = store.read_table(spark, "url_seen", max_depth)
+        res.timings.append(
+            {"phase": "url_seen_write", "ms": int((time.monotonic() - _tw) * 1000)}
+        )
         m = store.load_manifest() or Manifest()
         m.committed_round = max_depth
         m.tables["url_seen"] = max_depth
-        m.meta["entry_url"] = entry_url
+        m.meta["entry_url"] = (
+            entry_url if isinstance(entry_url, str) else f"{n_seeds} seeds"
+        )
         m.meta["queue_size"] = queue_size
         store.commit(m)
 
@@ -340,9 +555,21 @@ def process_queue(
 
     Missing page (fetch failure) -> ERROR_FETCH row with partial fields
     (WebPageProcessor.java:160-170); fetched page -> OK row with title, rule
-    extraction, hash and content length (:172-195). With a ``robots`` table,
+    extraction, hash and content length (:172-195); kernel parse failure ->
+    ERROR_PARSE row carrying http_status/content_type and the reference's
+    ``crawlDepth = maxDepth`` quirk (:216-227, :224). With a ``robots`` table,
     disallowed URLs become SKIPPED_ROBOTS rows (CrawlStatus.java:10-11) and
     are never fetched/parsed.
+
+    Content-hash dedup (CrawlStatus.DUPLICATE, model/CrawlStatus.java:19-20;
+    README.md:156 "skip if content hash unchanged"): OK docs with identical
+    NON-EMPTY extracted contents are marked DUPLICATE except the first by
+    queue position — one uniform hash-partitioned window, skew-free keys.
+
+    Per-page fetch fidelity (P2): when the pages table carries
+    ``http_status``/``fetch_ms`` columns they flow into the docs (Jsoup
+    ignoreHttpErrors(true): non-200 pages still parse as OK); absent columns
+    default to 200/0.
     """
     q = queue.select("url", "pos")
     skipped_robots = None
@@ -352,7 +579,7 @@ def process_queue(
         q, blocked = apply_robots(q, robots)
         skipped_robots = blocked
 
-    if queue_rows is not None and queue_rows <= 5_000_000:
+    if queue_rows is not None and queue_rows <= BROADCAST_FRONTIER_ROWS:
         # broadcast the queue: the pages table (html payload) streams through
         # a broadcast hash join instead of shuffling wholesale; the missing
         # set needs only a url-column anti-join (no html movement)
@@ -365,7 +592,15 @@ def process_queue(
         fetched = joined.filter(F.col("html").isNotNull())
         missing = joined.filter(F.col("html").isNull())
 
-    extract_fn, _ = make_extract_pages(config, carry_cols=["pos", "lang", "warc_ts"])
+    # P2 fidelity columns: thread through when present, else defaults
+    if "http_status" not in fetched.columns:
+        fetched = fetched.withColumn("http_status", F.lit(200))
+    if "fetch_ms" not in fetched.columns:
+        fetched = fetched.withColumn("fetch_ms", F.lit(0).cast("long"))
+
+    extract_fn, _ = make_extract_pages(
+        config, carry_cols=["pos", "lang", "warc_ts", "http_status", "fetch_ms"]
+    )
     from pyspark.sql.types import TimestampType
 
     out_schema = extract_schema_with(
@@ -373,34 +608,79 @@ def process_queue(
             StructField("pos", LongType()),
             StructField("lang", StringType()),
             StructField("warc_ts", TimestampType()),
+            StructField("http_status", IntegerType()),
+            StructField("fetch_ms", LongType()),
         ]
     )
-    ex = fetched.select("url", "html", "pos", "lang", "warc_ts").mapInPandas(
-        extract_fn, out_schema
+    ex = (
+        fetched.select(
+            "url", "html", "pos", "lang", "warc_ts",
+            F.col("http_status").cast("int").alias("http_status"),
+            F.col("fetch_ms").cast("long").alias("fetch_ms"),
+        )
+        # balance parse work + collapse the Python stage (see run_crawl note)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(extract_fn, out_schema)
     )
 
     ts = F.to_timestamp(F.lit(crawl_ts))
-    ok_docs = ex.select(
-        doc_id_col(F.col("url")).alias("id"),
+    parsed = ex.filter(~F.col("parse_error"))
+    # content-hash dedup key: identical NON-EMPTY contents; empty/null
+    # contents get a per-url unique key so they never mark as DUPLICATE
+    ckey = F.when(
+        F.size(F.col("segments")) > 0,
+        F.sha2(F.concat_ws("\u001f", F.col("segments")), 256),
+    ).otherwise(F.concat(F.lit("u:"), F.col("url")))
+    w_dup = Window.partitionBy("_ckey")
+    ok_docs = (
+        parsed.withColumn("_ckey", ckey)
+        .withColumn("_first_pos", F.min("pos").over(w_dup))
+        .select(
+            doc_id_col(F.col("url")).alias("id"),
+            F.col("url"),
+            parse_host(F.col("url")).alias("domain"),
+            ts.alias("crawl_ts"),
+            F.when(F.col("pos") > F.col("_first_pos"), F.lit("DUPLICATE"))
+            .otherwise(F.lit("OK"))
+            .alias("status"),
+            F.col("http_status"),
+            F.col("fetch_ms").alias("fetch_duration_ms"),
+            F.lit(None).cast("int").alias("crawl_depth"),
+            F.col("title"),
+            F.lit(None).cast("string").alias("description"),
+            F.col("segments").alias("contents"),
+            content_length_col(F.col("segments")).alias("content_length"),
+            F.lit("text/html").alias("content_type"),
+            F.col("lang").alias("language"),
+            content_hash_segments(F.col("url"), F.col("segments")).alias("hash"),
+            F.col("pos"),
+            # out_links: the kernel already emits normalized, null-free hrefs
+            # in document order — a plain column transform, no explode/regroup/
+            # self-join (which would also evaluate the extraction twice)
+            F.transform(F.col("links"), lambda l: l["href"]).alias("out_links"),
+        )
+    )
+
+    # ERROR_PARSE rows (WebPageProcessor.java:216-227): keep http_status and
+    # content_type from the fetch; crawl_depth = maxDepth is the :224 quirk
+    parse_err_docs = ex.filter(F.col("parse_error")).select(
+        F.lit(None).cast("string").alias("id"),
         F.col("url"),
         parse_host(F.col("url")).alias("domain"),
         ts.alias("crawl_ts"),
-        F.lit("OK").alias("status"),
-        F.lit(200).alias("http_status"),
-        F.lit(0).cast("long").alias("fetch_duration_ms"),
-        F.lit(None).cast("int").alias("crawl_depth"),
-        F.col("title"),
+        F.lit("ERROR_PARSE").alias("status"),
+        F.col("http_status"),
+        F.col("fetch_ms").alias("fetch_duration_ms"),
+        F.lit(config.max_depth).cast("int").alias("crawl_depth"),
+        F.lit(None).cast("string").alias("title"),
         F.lit(None).cast("string").alias("description"),
-        F.col("segments").alias("contents"),
-        content_length_col(F.col("segments")).alias("content_length"),
+        F.lit(None).cast("array<string>").alias("contents"),
+        F.lit(0).cast("long").alias("content_length"),
         F.lit("text/html").alias("content_type"),
-        F.col("lang").alias("language"),
-        content_hash_segments(F.col("url"), F.col("segments")).alias("hash"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("array<string>").alias("out_links"),
+        content_hash_segments(F.col("url"), F.lit(None).cast("array<string>")).alias("hash"),
         F.col("pos"),
-        # out_links: the kernel already emits normalized, null-free hrefs in
-        # document order — a plain column transform, no explode/regroup/
-        # self-join (which would also evaluate the extraction twice per action)
-        F.transform(F.col("links"), lambda l: l["href"]).alias("out_links"),
     )
 
     err_docs = missing.select(
@@ -424,7 +704,11 @@ def process_queue(
     )
 
     cols = [f.name for f in _docs_schema().fields]
-    out = ok_docs.select(*cols).unionByName(err_docs.select(*cols))
+    out = (
+        ok_docs.select(*cols)
+        .unionByName(parse_err_docs.select(*cols))
+        .unionByName(err_docs.select(*cols))
+    )
     if skipped_robots is not None:
         robots_docs = skipped_robots.select(
             F.lit(None).cast("string").alias("id"),
@@ -462,9 +746,11 @@ def run_polite_crawl(
     config: CrawlConfig,
     robots: Optional[DataFrame] = None,
     store: Optional[SnapshotStore] = None,
+    with_processor: bool = True,
     use_bloom: bool = False,
     salt_threshold: Optional[int] = None,
     n_salts: int = 16,
+    delays: Optional[DataFrame] = None,
     max_rounds: int = 10_000,
     crawl_ts: str = "2025-06-01 00:00:00",
 ) -> CrawlResult:
@@ -477,30 +763,36 @@ def run_polite_crawl(
     the rest defer unchanged. Robots-blocked URLs consume budget, produce no
     links, and process as SKIPPED_ROBOTS docs. Hot hosts can be salted
     (``salt_threshold``) at the documented cost of per-salt-only ordering.
-    """
-    from .operators.admission import admit, apply_robots, salted_admit
 
-    seed_list = [entry_url] if isinstance(entry_url, str) else list(entry_url)
-    starts: List[str] = []
-    _start_set: Set[str] = set()  # list membership is O(n) -> O(n^2) over big seed lists
-    for s in seed_list:
-        n = normalize_url(s)
-        if n is not None and n not in _start_set:
-            _start_set.add(n)
-            starts.append(n)
+    Traversal candidates take the first DEPTH-ELIGIBLE harvest (child_depth
+    <= maxDepth), matching the oracle's per-event push rule even when a
+    deferred shallow parent and a max-depth parent harvest the same URL in
+    one round; the enqueue position still follows the global first harvest.
+    Both first-occurrences come out of ONE url-grouped aggregate (min over a
+    plain struct + min over a depth-masked struct).
+
+    With a ``delays`` table (host, crawl_delay_ms) the scheduler runs TIMED
+    politeness (admission.timed_admit): per-host ``next_allowed_ts`` virtual
+    clocks carry between rounds (config.politeness_window_ms per round), so a
+    crawl delay longer than one round admits one URL every ceil(d/W) rounds —
+    semantics fixed by oracle.crawl_oracle_polite(delays=...). Mutually
+    exclusive with ``salt_threshold`` (salting reorders within hosts, which
+    would make timed budgets rank-unstable).
+    """
+    from .operators.admission import admit, apply_robots, salted_admit, timed_admit
+
+    if delays is not None and salt_threshold is not None:
+        raise ValueError("timed politeness and salted admission are exclusive")
+
+    traverse, n_seeds = _seed_frontier(spark, entry_url, ("grank", "depth"))
+    if traverse is None:
+        return _empty_result(spark, with_processor=True)
     res = CrawlResult(queue=None, seen=None, visited=None, docs=None)  # type: ignore[arg-type]
-    if not starts:
-        empty_seen = spark.createDataFrame([], SEEN_SCHEMA)
-        res.queue = empty_seen.select("url", "pos")
-        res.seen = empty_seen
-        res.visited = empty_seen.select("url")
-        res.docs = spark.createDataFrame([], _docs_schema())
-        return res
 
     max_depth = max(0, config.max_depth)
     budget = config.per_host_budget
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    traverse = _seed_df(spark, starts, ("grank", "depth"))
     visited = traverse.select("url")
     seen = traverse.select(
         "url",
@@ -508,8 +800,12 @@ def run_polite_crawl(
         host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
         F.lit(0).alias("first_depth"),
     )
-    queue_size = len(starts)
-    discovered = len(starts)
+    queue_size = n_seeds
+    discovered = n_seeds
+
+    sidecar = None
+    if use_bloom:
+        sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
 
     extract_fn, _ = make_extract_pages(config, carry_cols=["grank", "depth"])
     extract_out = extract_schema_with(
@@ -517,12 +813,27 @@ def run_polite_crawl(
     )
 
     lineage: List[dict] = []
-    frontier_rows = len(starts)
+    frontier_rows = n_seeds
+
+    host_state = None
+    if delays is not None:
+        host_state = spark.createDataFrame(
+            [], "host string, next_allowed_ts long"
+        ).localCheckpoint(eager=True)
 
     for rnd in range(max_rounds):
         t0 = time.monotonic()
         tr = traverse.withColumn("host", parse_host(F.col("url")))
-        if salt_threshold is not None:
+        if delays is not None:
+            admitted, deferred, new_state = timed_admit(
+                tr, budget, delays, host_state,
+                window_ms=config.politeness_window_ms, rnd=rnd,
+                order_cols=("grank",), host_col="host",
+            )
+            # tiny table (one row per host ever served); eager so the round's
+            # clock advance is pinned before the frontier mutates
+            host_state = new_state.localCheckpoint(eager=True)
+        elif salt_threshold is not None:
             admitted, deferred = salted_admit(
                 tr.withColumn("rank", F.col("grank")), budget,
                 order_cols=("grank",), host_col="host",
@@ -539,10 +850,13 @@ def run_polite_crawl(
         allowed = allowed.drop("host")
         deferred = deferred.drop("host")
 
-        # broadcast the admitted frontier while it fits (see run_crawl note)
-        allowed_side = F.broadcast(allowed) if frontier_rows <= 5_000_000 else allowed
+        allowed_side = (
+            F.broadcast(allowed) if frontier_rows <= BROADCAST_FRONTIER_ROWS else allowed
+        )
         fetched = pages.select("url", "html").join(allowed_side, "url", "inner")
-        extracted = fetched.mapInPandas(extract_fn, extract_out).persist()
+        # balance parse work + collapse the Python stage (see run_crawl note)
+        fetched = fetched.repartition(spark.sparkContext.defaultParallelism)
+        extracted = fetched.mapInPandas(extract_fn, extract_out)
 
         links = extracted.select(
             F.col("grank").alias("parent_rank"),
@@ -559,75 +873,172 @@ def run_polite_crawl(
                 F.col("url"), config.include_url_patterns, config.exclude_url_patterns
             )
         )
-        first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"]).persist()
-
-        sidecar = bloom_sidecar_build(seen) if use_bloom else None
-        new_urls = dedup_against_seen(first, seen, sidecar=sidecar)
-        ranked = global_rank(
-            new_urls, ["parent_rank", "link_pos"], out_col="pos", offset=queue_size
+        # one url-grouped pass, two first-occurrences: global (enqueue pos)
+        # and depth-eligible (traversal push) — min skips the masked nulls
+        packed = accepted.groupBy("url").agg(
+            F.min(F.struct("parent_rank", "link_pos", "child_depth")).alias("_o"),
+            F.min(
+                F.when(
+                    F.col("child_depth") <= max_depth,
+                    F.struct("parent_rank", "link_pos", "child_depth"),
+                )
+            ).alias("_oe"),
         )
-        new_seen = ranked.select(
+        first = packed.select(
             "url",
-            "pos",
-            host_hash_col(parse_host(F.col("url"))).alias("host_hash"),
-            F.col("child_depth").alias("first_depth"),
+            F.col("_o.parent_rank").alias("parent_rank"),
+            F.col("_o.link_pos").alias("link_pos"),
+            F.col("_o.child_depth").alias("child_depth"),
+            F.col("_oe.parent_rank").alias("e_parent_rank"),
+            F.col("_oe.link_pos").alias("e_link_pos"),
+            F.col("_oe.child_depth").alias("e_child_depth"),
         )
-        if store is not None:
-            store.write_table(new_seen, "seen_delta", rnd)
-            new_seen = store.read_table(spark, "seen_delta", rnd)
-        else:
-            new_seen = new_seen.localCheckpoint(eager=True)
-
-        part_rows = (
-            new_seen.groupBy(
-                F.pmod(F.col("host_hash"), F.lit(32)).cast("int").alias("partition_id")
+        flagged = flag_seen(first, seen, sidecar=sidecar)
+        vm = visited.select("url").withColumn("_v", F.lit(1))
+        flagged = (
+            flagged.join(vm, "url", "left")
+            .withColumn(
+                "_ntrav",
+                F.when(
+                    F.col("e_parent_rank").isNotNull() & F.col("_v").isNull(),
+                    F.lit(0),
+                ).otherwise(F.lit(1)),
             )
+            .drop("_v")
+        )
+        b = (
+            flagged.withColumn("host_hash", host_hash_col(parse_host(F.col("url"))))
+            .withColumn("_bkt", _bucket_expr(F.col("parent_rank"), discovered, nb))
+            .withColumn(
+                "_bkte", _bucket_expr(F.col("e_parent_rank"), discovered, nb)
+            )
+            .withColumn(
+                "_part",
+                F.pmod(F.col("host_hash"), F.lit(N_LINEAGE_PARTS)).cast("int"),
+            )
+            .persist()
+        )
+
+        # job 1: single evaluation + all stats (gid: {_bkt}=3, {_bkte}=5, {_part}=6)
+        stats = (
+            b.groupingSets([["_bkt"], ["_bkte"], ["_part"]], "_bkt", "_bkte", "_part")
             .agg(
-                F.countDistinct("host_hash").alias("hosts_served"),
-                F.count("*").alias("urls_fetched"),
+                F.sum(1 - F.col("_dup")).alias("n_new"),
+                F.sum("_dup").alias("n_dup"),
+                F.sum(1 - F.col("_ntrav")).alias("n_trav"),
+                F.count_distinct(
+                    F.when(F.col("_dup") == 0, F.col("host_hash"))
+                ).alias("hosts"),
+                F.grouping_id().alias("_gid"),
             )
             .collect()
         )
-        n_new = sum(r["urls_fetched"] for r in part_rows)
-        n_first = first.count()
+        bkt_rows = [r for r in stats if r["_gid"] == 3]
+        bkte_rows = [r for r in stats if r["_gid"] == 5 and r["_bkte"] is not None]
+        part_rows = [r for r in stats if r["_gid"] == 6 and r["n_new"]]
+        n_new = sum(r["n_new"] for r in bkt_rows)
+        n_dup = sum(r["n_dup"] for r in bkt_rows)
+        n_trav = sum(r["n_trav"] for r in bkte_rows)
+
+        # job 2: pos (global first) + grank (eligible first) + deferred rows,
+        # one materialization
+        pos_off, _ = _offset_map_expr(
+            "_bkt", {r["_bkt"]: r["n_new"] for r in bkt_rows}, queue_size
+        )
+        grank_off, _ = _offset_map_expr(
+            "_bkte", {r["_bkte"]: r["n_trav"] for r in bkte_rows}, discovered
+        )
+        w_o = Window.partitionBy("_bkt").orderBy("parent_rank", "link_pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_e = Window.partitionBy("_bkte").orderBy(
+            "e_parent_rank", "e_link_pos"
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        slice_df = (
+            b.filter((F.col("_dup") == 0) | (F.col("_ntrav") == 0))
+            .withColumn(
+                "pos",
+                F.when(
+                    F.col("_dup") == 0,
+                    (_running("_dup", w_o) - 1 + pos_off).cast("long"),
+                ),
+            )
+            .withColumn(
+                "grank",
+                F.when(
+                    F.col("_ntrav") == 0,
+                    (_running("_ntrav", w_e) - 1 + grank_off).cast("long"),
+                ),
+            )
+            .select(
+                "url",
+                "host_hash",
+                "pos",
+                "grank",
+                F.col("child_depth").cast("int").alias("first_depth"),
+                F.col("e_child_depth").cast("int").alias("depth"),
+            )
+        )
+        deferred_shaped = deferred.select(
+            "url",
+            F.lit(None).cast("long").alias("host_hash"),
+            F.lit(None).cast("long").alias("pos"),
+            F.col("grank"),
+            F.lit(None).cast("int").alias("first_depth"),
+            F.col("depth").cast("int").alias("depth"),
+        )
+        round_tbl = slice_df.unionByName(deferred_shaped)
+        if store is not None:
+            store.write_table(round_tbl, "round", rnd)
+            round_tbl = store.read_table(spark, "round", rnd)
+        else:
+            round_tbl = round_tbl.localCheckpoint(eager=True)
+        b.unpersist()
+
+        new_seen = round_tbl.filter(F.col("pos").isNotNull()).select(
+            "url", "pos", "host_hash", "first_depth"
+        )
         seen = seen.unionByName(new_seen)
         queue_size += n_new
+        if use_bloom:
+            sidecar = bloom_sidecar_merge(
+                sidecar, bloom_sidecar_build(new_seen)
+            ).localCheckpoint(eager=True)
 
-        cand = anti_join_new(
-            first.filter(F.col("child_depth") <= max_depth), visited
+        traverse_next = round_tbl.filter(F.col("grank").isNotNull()).select(
+            "url", "grank", "depth"
         )
-        tnext = global_rank(
-            cand, ["parent_rank", "link_pos"], out_col="new_grank", offset=discovered
-        ).select(
-            "url",
-            F.col("new_grank").alias("grank"),
-            F.col("child_depth").cast("int").alias("depth"),
+        new_children = round_tbl.filter(
+            F.col("grank").isNotNull() & (F.col("grank") >= discovered)
         )
-        traverse_next = deferred.unionByName(tnext)
-        if store is not None:
-            store.write_table(traverse_next, "traverse", rnd + 1)
-            traverse_next = store.read_table(spark, "traverse", rnd + 1)
-        else:
-            traverse_next = traverse_next.localCheckpoint(eager=True)
-        # new children are exactly the rows ranked this round (grank >= the
-        # pre-round discovered counter); deferred rows keep their older granks
+        visited = visited.unionByName(new_children.select("url"))
+        discovered += n_trav
+        # one count over the materialized table: deferred + new children;
+        # drives both loop termination and the next broadcast decision
         n_next_total = traverse_next.count()
         frontier_rows = n_next_total
-        new_children = traverse_next.filter(F.col("grank") >= discovered)
-        visited = visited.unionByName(new_children.select("url"))
-        discovered += new_children.count()
 
-        extracted.unpersist()
-        first.unpersist()
         wall_ms = int((time.monotonic() - t0) * 1000)
+        if not part_rows:
+            lineage.append(
+                {
+                    "round": rnd,
+                    "partition_id": -1,
+                    "hosts_served": 0,
+                    "urls_fetched": 0,
+                    "urls_deduped": n_dup,
+                    "frontier_delta": 0,
+                    "wall_ms": wall_ms,
+                }
+            )
         for r in part_rows:
             lineage.append(
                 {
                     "round": rnd,
-                    "partition_id": r["partition_id"],
-                    "hosts_served": r["hosts_served"],
-                    "urls_fetched": r["urls_fetched"],
-                    "urls_deduped": n_first - n_new,
+                    "partition_id": r["_part"],
+                    "hosts_served": r["hosts"],
+                    "urls_fetched": r["n_new"],
+                    "urls_deduped": n_dup,
                     "frontier_delta": n_new,
                     "wall_ms": wall_ms,
                 }
@@ -643,7 +1054,9 @@ def run_polite_crawl(
         m = store.load_manifest() or Manifest()
         m.committed_round = res.rounds_run
         m.tables["url_seen"] = res.rounds_run
-        m.meta["entry_url"] = starts[0] if len(starts) == 1 else f"{len(starts)} seeds"
+        m.meta["entry_url"] = (
+            entry_url if isinstance(entry_url, str) else f"{n_seeds} seeds"
+        )
         m.meta["queue_size"] = queue_size
         store.commit(m)
 
@@ -652,8 +1065,9 @@ def run_polite_crawl(
     res.visited = visited
     res.lineage = lineage
     res.urls_enqueued = queue_size
-    res.docs = process_queue(
-        spark, seen, pages, config, crawl_ts=crawl_ts, robots=robots,
-        queue_rows=queue_size,
-    )
+    if with_processor:
+        res.docs = process_queue(
+            spark, seen, pages, config, crawl_ts=crawl_ts, robots=robots,
+            queue_rows=queue_size,
+        )
     return res

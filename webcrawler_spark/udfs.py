@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
@@ -29,7 +30,10 @@ from .config import CrawlConfig
 from .kernel.extract import extract_page
 from .kernel.urlnorm import domain_of, normalize_url
 
-# Schema of the fused page-extraction kernel output.
+# Schema of the fused page-extraction kernel output. ``parse_error`` marks
+# pages the kernel refused/failed to parse (dom.ParseError or any unexpected
+# per-page exception): no links harvested, null title/text/segments — the
+# ERROR_PARSE path of WebPageProcessor.java:216-227.
 EXTRACT_SCHEMA = StructType(
     [
         StructField("url", StringType()),
@@ -47,6 +51,7 @@ EXTRACT_SCHEMA = StructType(
                 )
             ),
         ),
+        StructField("parse_error", BooleanType()),
     ]
 )
 
@@ -72,6 +77,7 @@ def make_extract_pages(config: CrawlConfig, carry_cols: Optional[list] = None):
                 "text": [],
                 "segments": [],
                 "links": [],
+                "parse_error": [],
             }
             for c in carry_cols:
                 out[c] = []
@@ -82,12 +88,26 @@ def make_extract_pages(config: CrawlConfig, carry_cols: Optional[list] = None):
                     html = bytes(html).decode("utf-8", errors="replace")
                 rules = config.get_content_rules(url)
                 match_all = config.match_all_by_url(url)
-                page = extract_page(
-                    html,
-                    url,
-                    match_any_rules=None if match_all else rules,
-                    match_all_rules=rules if match_all else None,
-                )
+                try:
+                    page = extract_page(
+                        html,
+                        url,
+                        match_any_rules=None if match_all else rules,
+                        match_all_rules=rules if match_all else None,
+                    )
+                except Exception:
+                    # WebPageProcessor.java:216-227: any throw in the parse/
+                    # extract block -> ERROR_PARSE (title lost too, since the
+                    # reference's try wraps the whole assembly)
+                    out["url"].append(url)
+                    out["title"].append(None)
+                    out["text"].append(None)
+                    out["segments"].append(None)
+                    out["links"].append([])
+                    out["parse_error"].append(True)
+                    for c in carry_cols:
+                        out[c].append(getattr(row, c))
+                    continue
                 out["url"].append(url)
                 out["title"].append(page.title)
                 out["text"].append(page.text)
@@ -101,6 +121,7 @@ def make_extract_pages(config: CrawlConfig, carry_cols: Optional[list] = None):
                         if n is not None
                     ]
                 )
+                out["parse_error"].append(False)
                 for c in carry_cols:
                     out[c].append(getattr(row, c))
             yield pd.DataFrame(out)
