@@ -67,3 +67,82 @@ def test_upsert_is_idempotent(spark, store):
     idx.upsert(spark, batch, 1)
     idx.upsert(spark, batch, 1)  # re-run of a crashed commit
     assert idx.read(spark).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# S4/S5: index catalog — aliases, templates, ALTER-style settings
+# (elasticsearch/ElasticRestClient.java:62-188)
+# ---------------------------------------------------------------------------
+
+def test_catalog_index_lifecycle(tmp_path):
+    from webcrawler_spark.catalog import CatalogError, IndexCatalog
+    from webcrawler_spark.storage import SnapshotStore
+
+    cat = IndexCatalog(SnapshotStore(str(tmp_path / "cat")))
+    assert cat.create_index("web-default") is True
+    assert cat.create_index("web-default") is False  # createIndex: exists -> false
+    cat.update_index("web-default", {"replicas": 2})  # ALTER
+    assert cat.get_settings("web-default")["replicas"] == 2
+    assert cat.delete_index("web-default") is True
+    assert cat.delete_index("web-default") is False
+    try:
+        cat.update_index("nope", {})
+        assert False
+    except CatalogError:
+        pass
+
+
+def test_catalog_aliases_and_templates(tmp_path):
+    from webcrawler_spark.catalog import IndexCatalog
+    from webcrawler_spark.storage import SnapshotStore
+
+    cat = IndexCatalog(SnapshotStore(str(tmp_path / "cat")))
+    # template applies at CREATE time to matching names (composable template)
+    cat.create_template(
+        "web-tpl", ["web-*"], {"settings": {"n_buckets": 8}, "aliases": ["web-live"]}
+    )
+    cat.create_index("web-2025")
+    assert cat.get_settings("web-2025")["n_buckets"] == 8
+    assert cat.resolve("web-live") == "web-2025"
+    # alias repoint (createAlias is create-or-update)
+    cat.create_index("web-2026")
+    cat.create_alias("web-2026", "web-live")
+    assert cat.resolve("web-live") == "web-2026"
+    # deleteAlias scoped to the index: wrong index -> no-op
+    cat.delete_alias("web-2025", "web-live")
+    assert cat.resolve("web-live") == "web-2026"
+    cat.delete_alias("web-2026", "web-live")
+    try:
+        cat.resolve("web-live")
+        assert False
+    except Exception:
+        pass
+    # non-matching name gets no template settings
+    cat.create_index("other")
+    assert "n_buckets" not in cat.get_settings("other")
+    cat.delete_template("web-tpl")
+
+
+def test_catalog_docs_through_alias(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.catalog import IndexCatalog
+    from webcrawler_spark.storage import SnapshotStore
+
+    cat = IndexCatalog(SnapshotStore(str(tmp_path / "cat")))
+    cat.create_index("web-a", {"settings": {"n_buckets": 4}})
+    cat.create_alias("web-a", "live")
+    docs = spark.createDataFrame(
+        [("a" * 64, "u1", "t1"), ("b" * 64, "u2", "t2")], "id string, url string, title string"
+    )
+    store = cat.doc_store("live")  # resolves the alias
+    store.upsert(spark, docs, version=0)
+    got = cat.read(spark, "live")
+    assert got is not None and got.count() == 2
+    # index deletion drops data and unbinds the alias
+    assert cat.delete_index("web-a") is True
+    try:
+        cat.read(spark, "live")
+        assert False
+    except Exception:
+        pass
