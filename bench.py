@@ -47,7 +47,9 @@ HEADLINE = [
     "dedup_minhash_sig",
     "dedup_lsh_pairs",
     "dedup_simhash_sig",
+    "dedup_simhash_pairs",
     "embed_cosine_topk",
+    "embed_ivf_topk",
     "text_token_stats",
     "text_langid",
     "doc_fingerprint",

@@ -73,6 +73,7 @@ def main() -> int:
     spark.range(1_000_000).mapInPandas(lambda it: it, "id long").selectExpr(
         "sum(id)"
     ).collect()
+    spark.read.parquet(args.pages).limit(1).count()  # Hadoop FS / footer init
 
     t0 = time.monotonic()
     phases = {}

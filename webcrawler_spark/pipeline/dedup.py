@@ -232,14 +232,22 @@ def simhash_pairs(
             & (F.col("l.blk") == F.col("r.blk"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        # dedup the (pair, signatures) rows BEFORE scoring: a pair sharing k
+        # bands would otherwise be XOR/bit_count-scored k times and only then
+        # collapsed — the distinct is the same shuffle either way, the
+        # scoring moves to once per unique pair
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).cast("int").alias("hamming"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
         )
         .distinct()
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
     )
     return cand.filter(F.col("hamming") <= max_hamming)
 
