@@ -414,3 +414,27 @@ def test_polite_salted_admission_same_sets(spark, tiny_pages_df, tiny_corpus):
         spark, tiny_pages_df, tiny_corpus, cfg, salt_threshold=5, n_salts=4
     )
     assert {r["url"] for r in result.seen.collect()} == oracle.seen
+
+
+def test_fetch_duration_clamped_nonnegative(spark):
+    """P8 (WebPageProcessor.java:238-240): durationMs clamps negative
+    wall-clock deltas (clock skew mid-fetch) to 0 — a page carrying a
+    negative fetch_ms must surface as fetch_duration_ms == 0, a positive
+    one unchanged."""
+    from webcrawler_spark.rounds import process_queue
+
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example.com/a", b"<html><p>alpha beta</p></html>", -123),
+            ("https://h.example.com/b", b"<html><p>gamma delta</p></html>", 456),
+        ],
+        "url string, html binary, fetch_ms long",
+    )
+    queue = spark.createDataFrame(
+        [("https://h.example.com/a", 0), ("https://h.example.com/b", 1)],
+        "url string, pos long",
+    )
+    cfg = CrawlConfig(content_rules={"minCharacter": 0, "tagName": "p"})
+    docs = {r["url"]: r for r in process_queue(spark, queue, pages, cfg).collect()}
+    assert docs["https://h.example.com/a"]["fetch_duration_ms"] == 0
+    assert docs["https://h.example.com/b"]["fetch_duration_ms"] == 456

@@ -17,14 +17,19 @@ occurrence only. maxDepth semantics (harvest-but-don't-traverse,
 CrawlerService.java:127-131) and the entry-enqueue-only-with-processor guard
 (:110-116) are mirrored exactly.
 
-Scale design (north_rule: ≥0.8 scaling efficiency N→4N): a round runs exactly
-TWO driver-synchronized jobs —
+Scale design (north_rule: ≥0.8 scaling efficiency N→4N): a round runs at most
+THREE driver-synchronized jobs —
 
-1. one stats job: the whole fetch→parse→harvest→dedup chain evaluates once
-   into a persisted round table, and a single GROUPING SETS aggregate returns
-   per-bucket rank offsets, per-partition lineage stats, and the dedup counts
-   in one ≤(buckets+32)-row collect;
-2. one materialization job: queue positions and traversal ranks are assigned
+1. (processor mode) one raw-capture job: the round's single page parse
+   (title/segments/links from one kernel call, like WebPageProcessor) is
+   materialized as a per-round raw_docs table; the final docs pass reuses it
+   instead of re-fetching and re-parsing the whole queue, so each page is
+   parsed exactly once across the entire crawl;
+2. one stats job: the harvest→dedup chain evaluates once into a persisted
+   round table, and a single GROUPING SETS aggregate returns per-bucket rank
+   offsets, per-partition lineage stats, and the dedup counts in one
+   ≤(buckets+32)-row collect;
+3. one materialization job: queue positions and traversal ranks are assigned
    with bucket-local running sums + the driver prefix-sum offsets (no
    single-partition row_number, no range-sampling pass), and the resulting
    round table is checkpointed (or written to the SnapshotStore).
@@ -292,6 +297,11 @@ def run_crawl(
     traverse, n_seeds = _seed_frontier(spark, entry_url, ("rank",))
     if traverse is None:
         return _empty_result(spark, with_processor)
+    if with_processor:
+        # queue position rides on the traversal frontier so the round's parse
+        # output is a complete raw doc (single-parse: see loop below); seeds
+        # occupy pos 0..n-1 = their rank
+        traverse = traverse.withColumn("pos", F.col("rank").cast("long"))
     res = CrawlResult(queue=None, seen=None, visited=None, docs=None)  # type: ignore[arg-type]
     res.timings.append({"phase": "seed_frontier", "ms": int((time.monotonic() - _t0) * 1000)})
 
@@ -319,8 +329,46 @@ def run_crawl(
     if use_bloom:
         sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
 
-    extract_fn, _ = make_extract_pages(config, carry_cols=["rank"])
-    extract_out = extract_schema_with([StructField("rank", LongType())])
+    # Single-parse (WebPageProcessor parses each page ONCE for both links and
+    # content): in processor mode the round's link-harvest parse also carries
+    # the docs payload (title/segments/links from the same kernel call) plus
+    # the P2 fidelity columns, and each round's raw extraction is persisted.
+    # The final docs pass then re-parses only the queue tail that no round
+    # ever traversed (children harvested at maxDepth, CrawlerService.java:127-131)
+    # instead of re-fetching and re-parsing the whole queue.
+    if with_processor:
+        from pyspark.sql.types import TimestampType
+
+        pages_src = pages
+        if "http_status" not in pages_src.columns:
+            pages_src = pages_src.withColumn("http_status", F.lit(200))
+        if "fetch_ms" not in pages_src.columns:
+            pages_src = pages_src.withColumn("fetch_ms", F.lit(0).cast("long"))
+        if "lang" not in pages_src.columns:
+            pages_src = pages_src.withColumn("lang", F.lit(None).cast("string"))
+        if "warc_ts" not in pages_src.columns:
+            pages_src = pages_src.withColumn(
+                "warc_ts", F.lit(None).cast("timestamp")
+            )
+        carry_fields = [
+            StructField("rank", LongType()),
+            StructField("pos", LongType()),
+            StructField("lang", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("http_status", IntegerType()),
+            StructField("fetch_ms", LongType()),
+        ]
+        fetch_cols = ["url", "html", "lang", "warc_ts", "http_status", "fetch_ms"]
+    else:
+        pages_src = pages
+        carry_fields = [StructField("rank", LongType())]
+        fetch_cols = ["url", "html"]
+    extract_fn, _ = make_extract_pages(
+        config, carry_cols=[f.name for f in carry_fields]
+    )
+    extract_out = extract_schema_with(carry_fields)
+    raw_parts: List[DataFrame] = []
+    fetched_est = 0
 
     lineage: List[dict] = []
     frontier_rows = n_seeds
@@ -330,7 +378,7 @@ def run_crawl(
         trav_side = (
             F.broadcast(traverse) if frontier_rows <= BROADCAST_FRONTIER_ROWS else traverse
         )
-        fetched = pages.select("url", "html").join(trav_side, "url", "inner")
+        fetched = pages_src.select(*fetch_cols).join(trav_side, "url", "inner")
         # round-robin the joined (fetched) rows before the Python stage: the
         # corpus is host-clustered on disk, so the join output is skewed
         # across scan partitions — and a scan-partition-aligned mapInPandas
@@ -339,6 +387,25 @@ def run_crawl(
         # balances parse work and collapses the Python stage to |cores| tasks.
         fetched = fetched.repartition(spark.sparkContext.defaultParallelism)
         extracted = fetched.mapInPandas(extract_fn, extract_out)
+        fetched_est += frontier_rows
+
+        if with_processor:
+            # materialize the round's parse output once (job A); the stats
+            # job and the final docs assembly both read it back — the page is
+            # never parsed again. `text` is redundant with segments for docs
+            # and excluded to keep the raw table lean.
+            _tr = time.monotonic()
+            raw = extracted.drop("text")
+            if store is not None:
+                store.write_table(raw, "raw_docs", depth)
+                raw = store.read_table(spark, "raw_docs", depth)
+            else:
+                raw = raw.localCheckpoint(eager=True)
+            raw_parts.append(raw)
+            extracted = raw
+            res.timings.append(
+                {"phase": f"r{depth}_raw", "ms": int((time.monotonic() - _tr) * 1000)}
+            )
 
         # hrefs come out of the kernel already normalized and null-free
         links = extracted.select(
@@ -450,7 +517,8 @@ def run_crawl(
             ).localCheckpoint(eager=True)
 
         if depth < max_depth:
-            traverse = round_tbl.filter(F.col("rank").isNotNull()).select("url", "rank")
+            tcols = ["url", "rank", "pos"] if with_processor else ["url", "rank"]
+            traverse = round_tbl.filter(F.col("rank").isNotNull()).select(*tcols)
             visited = visited.unionByName(traverse.select("url"))
             frontier_rows = n_trav
 
@@ -509,8 +577,18 @@ def run_crawl(
     res.urls_enqueued = queue_size
 
     if with_processor:
+        raw_all = None
+        for p in raw_parts:
+            raw_all = p if raw_all is None else raw_all.unionByName(p)
         res.docs = process_queue(
-            spark, seen, pages, config, crawl_ts=crawl_ts, queue_rows=queue_size
+            spark,
+            seen,
+            pages,
+            config,
+            crawl_ts=crawl_ts,
+            queue_rows=queue_size,
+            raw_docs=raw_all,
+            raw_rows=fetched_est,
         )
     return res
 
@@ -549,6 +627,8 @@ def process_queue(
     crawl_ts: str = "2025-06-01 00:00:00",
     robots: Optional[DataFrame] = None,
     queue_rows: Optional[int] = None,
+    raw_docs: Optional[DataFrame] = None,
+    raw_rows: Optional[int] = None,
 ) -> DataFrame:
     """WebPageProcessor.processUrl over the whole admitted queue as one batch
     (the reference's N virtual-thread workers become Spark tasks — SURVEY §2.3 P1).
@@ -579,6 +659,15 @@ def process_queue(
         q, blocked = apply_robots(q, robots)
         skipped_robots = blocked
 
+    if raw_docs is not None:
+        # single-parse reuse (run_crawl raw capture): queue urls already
+        # parsed during the crawl rounds skip the fetch+extract path below;
+        # only the never-traversed tail (children harvested at maxDepth,
+        # plus fetch-missing urls) is joined against pages and parsed here
+        q = q.join(raw_docs.select("url"), "url", "left_anti")
+        if queue_rows is not None:
+            queue_rows = max(0, queue_rows - (raw_rows or 0))
+
     if queue_rows is not None and queue_rows <= BROADCAST_FRONTIER_ROWS:
         # broadcast the queue: the pages table (html payload) streams through
         # a broadcast hash join instead of shuffling wholesale; the missing
@@ -597,6 +686,10 @@ def process_queue(
         fetched = fetched.withColumn("http_status", F.lit(200))
     if "fetch_ms" not in fetched.columns:
         fetched = fetched.withColumn("fetch_ms", F.lit(0).cast("long"))
+    if "lang" not in fetched.columns:
+        fetched = fetched.withColumn("lang", F.lit(None).cast("string"))
+    if "warc_ts" not in fetched.columns:
+        fetched = fetched.withColumn("warc_ts", F.lit(None).cast("timestamp"))
 
     extract_fn, _ = make_extract_pages(
         config, carry_cols=["pos", "lang", "warc_ts", "http_status", "fetch_ms"]
@@ -616,12 +709,31 @@ def process_queue(
         fetched.select(
             "url", "html", "pos", "lang", "warc_ts",
             F.col("http_status").cast("int").alias("http_status"),
-            F.col("fetch_ms").cast("long").alias("fetch_ms"),
+            # P8 (WebPageProcessor.java:238-240): durationMs clamps negative
+            # wall-clock deltas (clock skew mid-fetch) to 0
+            F.greatest(F.lit(0).cast("long"), F.col("fetch_ms").cast("long")).alias(
+                "fetch_ms"
+            ),
         )
         # balance parse work + collapse the Python stage (see run_crawl note)
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(extract_fn, out_schema)
     )
+    if raw_docs is not None:
+        excols = [
+            "url", "title", "segments", "links", "parse_error",
+            "pos", "lang", "warc_ts", "http_status", "fetch_ms",
+        ]
+        ex = ex.select(*excols).unionByName(
+            raw_docs.select(
+                *excols[:-1],
+                # P8 clamp for the raw-captured side (the extract path above
+                # already clamps)
+                F.greatest(
+                    F.lit(0).cast("long"), F.col("fetch_ms").cast("long")
+                ).alias("fetch_ms"),
+            )
+        )
 
     ts = F.to_timestamp(F.lit(crawl_ts))
     parsed = ex.filter(~F.col("parse_error"))
