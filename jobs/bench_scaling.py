@@ -136,17 +136,28 @@ def main() -> int:
     )
     extra = ["--use-bloom"] if args.use_bloom else []
 
+    # Interleave the two levels (N, 4N, N, 4N, ...) and keep the best run per
+    # level: this host's CPU throughput swings ~1.5x on multi-minute
+    # timescales (shared/virtualized throttling), so running all lows then
+    # all highs couples each level to a single throttle regime and makes the
+    # ratio a lottery. Best-of-interleaved estimates each level's clean-window
+    # throughput; all sampled walls are published for transparency.
+    best: dict = {}
+    walls: dict = {args.cores_low: [], args.cores_high: []}
+    for _ in range(args.repeat):
+        for cores in (args.cores_low, args.cores_high):
+            s = run_one(cores, pages, args.entry, args.max_depth, zip_path, extra)
+            walls[cores].append(s["wall_sec"])
+            if cores not in best or s["wall_sec"] < best[cores]["wall_sec"]:
+                best[cores] = s
     results = {}
     for cores in (args.cores_low, args.cores_high):
-        best = None
-        for _ in range(args.repeat):
-            s = run_one(cores, pages, args.entry, args.max_depth, zip_path, extra)
-            if best is None or s["wall_sec"] < best["wall_sec"]:
-                best = s
-        processed = best["urls_enqueued"] + best["urls_deduped"]
-        best["throughput_urls_per_sec"] = round(processed / best["wall_sec"], 2)
-        best["throughput_per_core"] = round(processed / best["wall_sec"] / cores, 2)
-        results[f"local[{cores}]"] = best
+        b = best[cores]
+        processed = b["urls_enqueued"] + b["urls_deduped"]
+        b["throughput_urls_per_sec"] = round(processed / b["wall_sec"], 2)
+        b["throughput_per_core"] = round(processed / b["wall_sec"] / cores, 2)
+        b["wall_samples_sec"] = walls[cores]
+        results[f"local[{cores}]"] = b
 
     lo = results[f"local[{args.cores_low}]"]
     hi = results[f"local[{args.cores_high}]"]

@@ -384,8 +384,9 @@ def run_crawl(
         # across scan partitions — and a scan-partition-aligned mapInPandas
         # pays Arrow/worker pipeline setup on dozens of near-empty tasks.
         # One narrow shuffle of only the FETCHED pages (not the whole table)
-        # balances parse work and collapses the Python stage to |cores| tasks.
-        fetched = fetched.repartition(spark.sparkContext.defaultParallelism)
+        # balances parse work; 2x cores tasks (not 1x) so one throttled
+        # core costs half a task, not a whole stage-tail.
+        fetched = fetched.repartition(2 * spark.sparkContext.defaultParallelism)
         extracted = fetched.mapInPandas(extract_fn, extract_out)
         fetched_est += frontier_rows
 
@@ -716,7 +717,7 @@ def process_queue(
             ),
         )
         # balance parse work + collapse the Python stage (see run_crawl note)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(2 * spark.sparkContext.defaultParallelism)
         .mapInPandas(extract_fn, out_schema)
     )
     if raw_docs is not None:
@@ -967,7 +968,7 @@ def run_polite_crawl(
         )
         fetched = pages.select("url", "html").join(allowed_side, "url", "inner")
         # balance parse work + collapse the Python stage (see run_crawl note)
-        fetched = fetched.repartition(spark.sparkContext.defaultParallelism)
+        fetched = fetched.repartition(2 * spark.sparkContext.defaultParallelism)
         extracted = fetched.mapInPandas(extract_fn, extract_out)
 
         links = extracted.select(

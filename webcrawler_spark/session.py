@@ -20,7 +20,10 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # 3x cores, not 1x: with exactly |cores| shuffle tasks one straggler adds
+    # a full 1/cores to stage wall; finer tasks rebalance around slow cores
+    # (AQE coalescing still caps tiny shuffles at the parallelism floor)
+    shuffle_partitions = shuffle_partitions or max(3 * cpus, 24)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
