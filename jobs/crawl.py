@@ -53,6 +53,16 @@ def main() -> int:
     )
     ap.add_argument("--use-bloom", action="store_true")
     ap.add_argument("--no-processor", action="store_true")
+    ap.add_argument(
+        "--stop-file", default=None,
+        help="stopCrawl() analogue: halt at the next round boundary once this "
+        "path exists (state committed to --state-dir, resumable)",
+    )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="continue a crawl stopped via --stop-file from its committed "
+        "round boundary (same --state-dir, same entry/config)",
+    )
     args = ap.parse_args()
 
     from webcrawler_spark.config import CrawlConfig
@@ -116,6 +126,10 @@ def main() -> int:
             delays=delays_df,
         )
     else:
+        stop = None
+        if args.stop_file:
+            stop_path = args.stop_file
+            stop = lambda: os.path.exists(stop_path)  # noqa: E731
         res = run_crawl(
             spark,
             pages,
@@ -124,6 +138,8 @@ def main() -> int:
             store=store,
             with_processor=not args.no_processor,
             use_bloom=args.use_bloom,
+            stop=stop,
+            resume=args.resume,
         )
     t_rounds_done = time.monotonic()
     # write first, count the written parquet: count-then-write would run the
@@ -160,6 +176,7 @@ def main() -> int:
         "phases": phases,
         "engine_timings": res.timings,
         "state_dir": args.state_dir,
+        "stopped": res.stopped,
     }
     print(json.dumps(summary))
     spark.stop()

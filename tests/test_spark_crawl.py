@@ -438,3 +438,53 @@ def test_fetch_duration_clamped_nonnegative(spark):
     docs = {r["url"]: r for r in process_queue(spark, queue, pages, cfg).collect()}
     assert docs["https://h.example.com/a"]["fetch_duration_ms"] == 0
     assert docs["https://h.example.com/b"]["fetch_duration_ms"] == 456
+
+
+def _stop_after(n_rounds):
+    """stopCrawl() test double: returns True once ``n_rounds`` rounds ran
+    (the callback is polled once at the top of every round)."""
+    state = {"polls": 0}
+
+    def stop():
+        state["polls"] += 1
+        return state["polls"] > n_rounds
+
+    return stop
+
+
+def test_stop_then_resume_matches_straight_run(spark, pages_df, small_corpus, tmp_path):
+    """O2 cancellation (CrawlerService.java:134-151): stopping between rounds
+    commits a resumable boundary; resume completes to the exact same queue
+    order and docs as an uninterrupted crawl."""
+    from webcrawler_spark.storage import SnapshotStore
+
+    cfg = CrawlConfig(max_depth=2)
+    entry = small_corpus.seeds[0]
+
+    full = run_crawl(
+        spark, pages_df, entry, cfg, store=SnapshotStore(str(tmp_path / "full"))
+    )
+    q_full = [r["url"] for r in full.queue.collect()]
+    docs_full = sorted(
+        (r["url"], r["status"], r["pos"], r["content_length"])
+        for r in full.docs.collect()
+    )
+
+    store = SnapshotStore(str(tmp_path / "stopresume"))
+    part = run_crawl(spark, pages_df, entry, cfg, store=store, stop=_stop_after(1))
+    assert part.stopped
+    assert part.docs is None
+    assert part.rounds_run == 1
+    m = store.load_manifest()
+    assert m is not None and m.meta["stopped_next_depth"] == 1
+
+    res = run_crawl(spark, pages_df, entry, cfg, store=store, resume=True)
+    assert not res.stopped
+    assert [r["url"] for r in res.queue.collect()] == q_full
+    docs_res = sorted(
+        (r["url"], r["status"], r["pos"], r["content_length"])
+        for r in res.docs.collect()
+    )
+    assert docs_res == docs_full
+    # the stop marker is cleared on completion
+    assert store.load_manifest().meta.get("stopped_next_depth") is None

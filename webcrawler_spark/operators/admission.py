@@ -96,7 +96,7 @@ def timed_admit(
     order_cols: Sequence[str] = ("grank",),
     host_col: str = "host",
 ) -> Tuple[DataFrame, DataFrame, DataFrame]:
-    """Per-host admission with REAL inter-round politeness timing
+    r"""Per-host admission with REAL inter-round politeness timing
     (README.md:55-57: politenessDelayMs 2000 ≈ 5 fetches per 10 s window).
 
     Deterministic virtual-time model: round ``rnd`` spans

@@ -47,6 +47,7 @@ idempotent by construction.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set, Tuple
@@ -103,14 +104,52 @@ LINEAGE_SCHEMA = StructType(
 )
 
 # Broadcasting the frontier side keeps the html-bearing pages table from ever
-# shuffling. Gate on rows as a proxy for bytes: ~100 B per (url, rank) row
-# puts 1M rows ≈ 100 MB serialized — near the sane ceiling for an explicit
-# broadcast hint (which bypasses autoBroadcastJoinThreshold). Beyond this the
-# join degrades to shuffle; a cluster deployment co-locates by bucketing pages
-# and frontier on url instead.
-BROADCAST_FRONTIER_ROWS = 1_000_000
+# shuffling. The gate is on ESTIMATED BYTES (rows × ~96 B per (url, rank/pos)
+# row), not a raw row count: what can break a real cluster is the serialized
+# relation size vs executor memory, and what it must stay below here is the
+# point where building the driver-side hash relation costs more than it saves.
+# Shuffling the multi-KB html payload is ~30-50× the frontier's bytes, so the
+# ceiling is set generously high (256 MB ≈ 2.8M url rows); beyond it the join
+# degrades to shuffle — a cluster deployment co-locates by bucketing pages and
+# frontier on url instead.
+FRONTIER_ROW_BYTES = 96
+BROADCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_MAX_BYTES", str(256 * 1024 * 1024))
+)
+# back-compat alias for tests/jobs that import the old row gate
+BROADCAST_FRONTIER_ROWS = BROADCAST_MAX_BYTES // FRONTIER_ROW_BYTES
+
+# Frontiers at or under this many rows are round-robin repartitioned before
+# the Python parse stage; larger ones run on the scan-partition layout.
+PARSE_REBALANCE_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_PARSE_REBALANCE_MAX_ROWS", "100000")
+)
 
 N_LINEAGE_PARTS = 32
+
+
+def _frontier_side(df: DataFrame, rows: Optional[int]) -> DataFrame:
+    """Frontier side of the fetch join: broadcast while the estimated
+    serialized size stays under BROADCAST_MAX_BYTES, else let it shuffle."""
+    if rows is not None and rows * FRONTIER_ROW_BYTES <= BROADCAST_MAX_BYTES:
+        return F.broadcast(df)
+    return df
+
+
+def _balance_for_parse(
+    spark: SparkSession, fetched: DataFrame, rows: Optional[int]
+) -> DataFrame:
+    """Small frontiers are host-clustered into a handful of scan partitions
+    (the corpus is laid out by host), so a cheap round-robin shuffle of the
+    few fetched pages fixes parse-stage skew. Large frontiers cover the host
+    space ~uniformly across the (maxPartitionBytes-sized) scan splits already
+    — there the repartition would shuffle the multi-GB html payload through
+    disk for no balance gain, so the parse runs directly on the join output
+    layout. 2x-cores granularity on the small path so one throttled core
+    costs half a task, not a stage tail."""
+    if rows is None or rows <= PARSE_REBALANCE_MAX_ROWS:
+        return fetched.repartition(2 * spark.sparkContext.defaultParallelism)
+    return fetched
 
 # Seed DataFrames at or under this many rows are collected to the driver and
 # take the (much cheaper) list path; see _seed_frontier.
@@ -263,6 +302,7 @@ class CrawlResult:
     rounds_run: int = 0
     urls_enqueued: int = 0
     timings: List[dict] = field(default_factory=list)  # per-phase wall diagnostics
+    stopped: bool = False       # True when a stop() callback cancelled the crawl
 
 
 def _empty_result(spark: SparkSession, with_processor: bool) -> CrawlResult:
@@ -285,6 +325,8 @@ def run_crawl(
     with_processor: bool = True,
     use_bloom: bool = False,
     crawl_ts: str = "2025-06-01 00:00:00",
+    stop=None,
+    resume: bool = False,
 ) -> CrawlResult:
     """CrawlerService.crawl(entryUrl, waitForCompletion=True) as batch rounds.
 
@@ -292,6 +334,18 @@ def run_crawl(
     (README.md seed-list design), or a seeds DataFrame (url [, seed_id]):
     seeds occupy queue positions 0..n-1 in list order with first-occurrence
     dedup, and round 0 traverses all of them.
+
+    Cancellation (O2 — CrawlerService.stopCrawl()/awaitTermination,
+    CrawlerService.java:134-151): ``stop`` is a zero-arg callable polled
+    between rounds — the batch analogue of cancelling the worker pool, where
+    a "round" is the smallest unit that leaves consistent state. When it
+    returns True the crawl halts, and with a ``store`` the full loop state
+    (url_seen, the pending frontier, the visited set, prior lineage and the
+    scalar counters) is committed so ``resume=True`` on the same store
+    continues from the exact round boundary — seeds/entry must match. A
+    stopped result has ``stopped=True`` and no docs (the docs pass runs only
+    at natural completion; a resumed run covers the whole queue, reusing
+    every previously persisted per-round raw parse).
     """
     _t0 = time.monotonic()
     traverse, n_seeds = _seed_frontier(spark, entry_url, ("rank",))
@@ -373,20 +427,43 @@ def run_crawl(
     lineage: List[dict] = []
     frontier_rows = n_seeds
 
-    for depth in range(0, max_depth + 1):
+    start_depth = 0
+    if resume and store is not None:
+        m = store.load_manifest()
+        if m is not None and m.meta.get("stopped_next_depth") is not None:
+            # pick the crawl back up at the committed round boundary: every
+            # table below was written atomically by the stop path
+            start_depth = int(m.meta["stopped_next_depth"])
+            seen = store.read_table(spark, "url_seen", start_depth)
+            traverse = store.read_table(spark, "frontier", start_depth)
+            visited = store.read_table(spark, "visited", start_depth)
+            queue_size = int(m.meta["queue_size"])
+            frontier_rows = int(m.meta["frontier_rows"])
+            fetched_est = int(m.meta.get("fetched_est", 0))
+            if with_processor:
+                raw_parts = [
+                    store.read_table(spark, "raw_docs", d)
+                    for d in range(start_depth)
+                ]
+            lineage = [
+                r.asDict() for r in store.read_table(
+                    spark, "lineage_ckpt", start_depth
+                ).collect()
+            ]
+            if use_bloom:
+                # one-time rebuild from the committed seen set; incremental
+                # merges take over again from here
+                sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
+
+    stopped_at: Optional[int] = None
+    for depth in range(start_depth, max_depth + 1):
+        if stop is not None and stop():
+            stopped_at = depth
+            break
         t0 = time.monotonic()
-        trav_side = (
-            F.broadcast(traverse) if frontier_rows <= BROADCAST_FRONTIER_ROWS else traverse
-        )
+        trav_side = _frontier_side(traverse, frontier_rows)
         fetched = pages_src.select(*fetch_cols).join(trav_side, "url", "inner")
-        # round-robin the joined (fetched) rows before the Python stage: the
-        # corpus is host-clustered on disk, so the join output is skewed
-        # across scan partitions — and a scan-partition-aligned mapInPandas
-        # pays Arrow/worker pipeline setup on dozens of near-empty tasks.
-        # One narrow shuffle of only the FETCHED pages (not the whole table)
-        # balances parse work; 2x cores tasks (not 1x) so one throttled
-        # core costs half a task, not a whole stage-tail.
-        fetched = fetched.repartition(2 * spark.sparkContext.defaultParallelism)
+        fetched = _balance_for_parse(spark, fetched, frontier_rows)
         extracted = fetched.mapInPandas(extract_fn, extract_out)
         fetched_est += frontier_rows
 
@@ -555,6 +632,35 @@ def run_crawl(
         if depth < max_depth and frontier_rows == 0:
             break
 
+    if stopped_at is not None:
+        # stopCrawl(): commit the exact round boundary so resume=True picks
+        # up here — url_seen + pending frontier + visited + lineage so far,
+        # then the scalar counters in the manifest (atomic commit last)
+        res.stopped = True
+        if store is not None:
+            store.write_table(seen, "url_seen", stopped_at)
+            seen = store.read_table(spark, "url_seen", stopped_at)
+            store.write_table(traverse, "frontier", stopped_at)
+            store.write_table(visited.select("url"), "visited", stopped_at)
+            store.write_table(
+                spark.createDataFrame(lineage, LINEAGE_SCHEMA), "lineage_ckpt",
+                stopped_at,
+            )
+            m = store.load_manifest() or Manifest()
+            m.committed_round = stopped_at - 1
+            m.tables["url_seen"] = stopped_at
+            m.meta["stopped_next_depth"] = stopped_at
+            m.meta["queue_size"] = queue_size
+            m.meta["frontier_rows"] = frontier_rows
+            m.meta["fetched_est"] = fetched_est
+            store.commit(m)
+        res.queue = seen.select("url", "pos").orderBy("pos")
+        res.seen = seen
+        res.visited = visited
+        res.lineage = lineage
+        res.urls_enqueued = queue_size
+        return res
+
     _tw = time.monotonic()
     if store is not None:
         store.write_table(seen, "url_seen", max_depth)
@@ -565,6 +671,7 @@ def run_crawl(
         m = store.load_manifest() or Manifest()
         m.committed_round = max_depth
         m.tables["url_seen"] = max_depth
+        m.meta.pop("stopped_next_depth", None)  # a completed resume clears the stop marker
         m.meta["entry_url"] = (
             entry_url if isinstance(entry_url, str) else f"{n_seeds} seeds"
         )
@@ -590,8 +697,26 @@ def run_crawl(
             queue_rows=queue_size,
             raw_docs=raw_all,
             raw_rows=fetched_est,
+            materialize=_tail_materializer(spark, store, max_depth + 1),
+            timings=res.timings,
         )
     return res
+
+
+def _tail_materializer(spark: SparkSession, store, version: int):
+    """Materializer for the docs pass's tail parse (see process_queue): the
+    never-traversed queue tail is parsed once and pinned — store-backed as
+    raw_docs[version] when a SnapshotStore exists (resumable, columnar-pruned
+    re-reads), localCheckpoint otherwise."""
+
+    if store is not None:
+
+        def _mat(df: DataFrame) -> DataFrame:
+            store.write_table(df, "raw_docs", version)
+            return store.read_table(spark, "raw_docs", version)
+
+        return _mat
+    return lambda df: df.localCheckpoint(eager=True)
 
 
 def _docs_schema() -> StructType:
@@ -630,6 +755,8 @@ def process_queue(
     queue_rows: Optional[int] = None,
     raw_docs: Optional[DataFrame] = None,
     raw_rows: Optional[int] = None,
+    materialize=None,
+    timings: Optional[List[dict]] = None,
 ) -> DataFrame:
     """WebPageProcessor.processUrl over the whole admitted queue as one batch
     (the reference's N virtual-thread workers become Spark tasks — SURVEY §2.3 P1).
@@ -651,6 +778,15 @@ def process_queue(
     ``http_status``/``fetch_ms`` columns they flow into the docs (Jsoup
     ignoreHttpErrors(true): non-200 pages still parse as OK); absent columns
     default to 200/0.
+
+    ``materialize`` (df -> pinned df, e.g. a SnapshotStore write+read) makes
+    the pass EAGER and switches the DUPLICATE computation from a full-payload
+    window to the scale shape: the tail parse is materialized once, a slim
+    (url, pos, content-key) job finds the duplicate LOSERS, and the losers
+    (typically a small fraction of the queue) broadcast-join back onto the
+    payload — the multi-KB contents/links columns never enter a shuffle.
+    Without it the pass stays lazy (tests, driver-compared queries) and uses
+    the single-pass window, which is semantically identical.
     """
     q = queue.select("url", "pos")
     skipped_robots = None
@@ -669,7 +805,7 @@ def process_queue(
         if queue_rows is not None:
             queue_rows = max(0, queue_rows - (raw_rows or 0))
 
-    if queue_rows is not None and queue_rows <= BROADCAST_FRONTIER_ROWS:
+    if queue_rows is not None and queue_rows * FRONTIER_ROW_BYTES <= BROADCAST_MAX_BYTES:
         # broadcast the queue: the pages table (html payload) streams through
         # a broadcast hash join instead of shuffling wholesale; the missing
         # set needs only a url-column anti-join (no html movement)
@@ -706,7 +842,8 @@ def process_queue(
             StructField("fetch_ms", LongType()),
         ]
     )
-    ex = (
+    ex = _balance_for_parse(
+        spark,
         fetched.select(
             "url", "html", "pos", "lang", "warc_ts",
             F.col("http_status").cast("int").alias("http_status"),
@@ -715,17 +852,25 @@ def process_queue(
             F.greatest(F.lit(0).cast("long"), F.col("fetch_ms").cast("long")).alias(
                 "fetch_ms"
             ),
-        )
-        # balance parse work + collapse the Python stage (see run_crawl note)
-        .repartition(2 * spark.sparkContext.defaultParallelism)
-        .mapInPandas(extract_fn, out_schema)
-    )
+        ),
+        queue_rows,
+    ).mapInPandas(extract_fn, out_schema)
+    excols = [
+        "url", "title", "segments", "links", "parse_error",
+        "pos", "lang", "warc_ts", "http_status", "fetch_ms",
+    ]
+    ex = ex.select(*excols)
+    if materialize is not None:
+        # pin the tail parse: the slim dup pass and the payload pass below
+        # both read it, and the page must not be parsed twice
+        _tt = time.monotonic()
+        ex = materialize(ex)
+        if timings is not None:
+            timings.append(
+                {"phase": "docs_tail_mat", "ms": int((time.monotonic() - _tt) * 1000)}
+            )
     if raw_docs is not None:
-        excols = [
-            "url", "title", "segments", "links", "parse_error",
-            "pos", "lang", "warc_ts", "http_status", "fetch_ms",
-        ]
-        ex = ex.select(*excols).unionByName(
+        ex = ex.unionByName(
             raw_docs.select(
                 *excols[:-1],
                 # P8 clamp for the raw-captured side (the extract path above
@@ -745,17 +890,51 @@ def process_queue(
         F.sha2(F.concat_ws("\u001f", F.col("segments")), 256),
     ).otherwise(F.concat(F.lit("u:"), F.col("url")))
     w_dup = Window.partitionBy("_ckey")
+    if materialize is not None:
+        # scale shape: every input is now a pinned table, so the duplicate
+        # LOSERS (pos > first pos of their content key) come out of a slim
+        # column-pruned pass — url+pos+key only, ~100 B/row through the
+        # shuffle instead of the multi-KB contents/links payload — and then
+        # broadcast-join back onto the payload by url (unique in the queue).
+        # Degrade path: a loser set past the broadcast ceiling shuffle-joins;
+        # that is the window plan minus its sort, so never worse.
+        _tl = time.monotonic()
+        losers = (
+            parsed.select("url", "pos", ckey.alias("_ckey"))
+            .withColumn("_first_pos", F.min("pos").over(w_dup))
+            .filter(F.col("pos") > F.col("_first_pos"))
+            .select("url")
+            .localCheckpoint(eager=True)
+        )
+        n_losers = losers.count()
+        if timings is not None:
+            timings.append(
+                {"phase": "docs_losers", "ms": int((time.monotonic() - _tl) * 1000)}
+            )
+        keyed = parsed.join(
+            _frontier_side(losers.withColumn("_isdup", F.lit(1)), n_losers),
+            "url",
+            "left",
+        )
+        dup_status = (
+            F.when(F.col("_isdup") == 1, F.lit("DUPLICATE")).otherwise(F.lit("OK"))
+        )
+    else:
+        keyed = parsed.withColumn("_ckey", ckey).withColumn(
+            "_first_pos", F.min("pos").over(w_dup)
+        )
+        dup_status = (
+            F.when(F.col("pos") > F.col("_first_pos"), F.lit("DUPLICATE"))
+            .otherwise(F.lit("OK"))
+        )
     ok_docs = (
-        parsed.withColumn("_ckey", ckey)
-        .withColumn("_first_pos", F.min("pos").over(w_dup))
+        keyed
         .select(
             doc_id_col(F.col("url")).alias("id"),
             F.col("url"),
             parse_host(F.col("url")).alias("domain"),
             ts.alias("crawl_ts"),
-            F.when(F.col("pos") > F.col("_first_pos"), F.lit("DUPLICATE"))
-            .otherwise(F.lit("OK"))
-            .alias("status"),
+            dup_status.alias("status"),
             F.col("http_status"),
             F.col("fetch_ms").alias("fetch_duration_ms"),
             F.lit(None).cast("int").alias("crawl_depth"),
@@ -963,12 +1142,9 @@ def run_polite_crawl(
         allowed = allowed.drop("host")
         deferred = deferred.drop("host")
 
-        allowed_side = (
-            F.broadcast(allowed) if frontier_rows <= BROADCAST_FRONTIER_ROWS else allowed
-        )
+        allowed_side = _frontier_side(allowed, frontier_rows)
         fetched = pages.select("url", "html").join(allowed_side, "url", "inner")
-        # balance parse work + collapse the Python stage (see run_crawl note)
-        fetched = fetched.repartition(2 * spark.sparkContext.defaultParallelism)
+        fetched = _balance_for_parse(spark, fetched, frontier_rows)
         extracted = fetched.mapInPandas(extract_fn, extract_out)
 
         links = extracted.select(
@@ -1182,5 +1358,9 @@ def run_polite_crawl(
         res.docs = process_queue(
             spark, seen, pages, config, crawl_ts=crawl_ts, robots=robots,
             queue_rows=queue_size,
+            materialize=_tail_materializer(spark, store, res.rounds_run + 1)
+            if store is not None
+            else None,
+            timings=res.timings,
         )
     return res
