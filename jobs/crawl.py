@@ -83,6 +83,24 @@ def main() -> int:
     spark.range(1_000_000).mapInPandas(lambda it: it, "id long").selectExpr(
         "sum(id)"
     ).collect()
+    # First use of the shuffle/sort/window/expand machinery class-loads and
+    # codegen-compiles whole subsystems (~1-3 s each); exercise the exact
+    # shapes every crawl round uses (hash agg over a shuffle, a partitioned
+    # running-sum window, grouping sets) so round 0 pays none of it.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    warm = spark.range(100_000).select("id", (F.col("id") % 7).alias("k"))
+    warm.groupBy("k").agg(F.sum("id")).collect()
+    warm.withColumn(
+        "rs",
+        F.sum("id").over(
+            W.partitionBy("k").orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).agg(F.max("rs")).collect()
+    warm.groupingSets([["k"], []], "k").agg(
+        F.sum("id"), F.grouping_id()
+    ).collect()
     spark.read.parquet(args.pages).limit(1).count()  # Hadoop FS / footer init
 
     t0 = time.monotonic()

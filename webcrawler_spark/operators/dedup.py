@@ -256,6 +256,11 @@ def bloom_prefilter(
     joined = cand.groupBy("_bucket").cogroup(side.groupBy("_bucket")).applyInPandas(
         split, out_schema
     )
+    # Pin the prefilter output: every caller consumes BOTH splits (union of
+    # definite-new with the checked maybes), and without a persist each action
+    # on that union runs the candidate shuffle + Python probe pass twice —
+    # once per union leg. MEMORY_AND_DISK; Spark evicts LRU under pressure.
+    joined = joined.persist()
     new = joined.filter(F.col("_maybe") == 0).drop("_maybe")
     maybe = joined.filter(F.col("_maybe") == 1).drop("_maybe")
     return new, maybe
