@@ -80,9 +80,17 @@ def main() -> int:
     # Warm the JVM (codegen/JIT) and the Python worker pool before the timed
     # section — same convention as bench.py: measured wall is crawl compute,
     # not one-time session startup (which a long-running crawler amortizes).
-    spark.range(1_000_000).mapInPandas(lambda it: it, "id long").selectExpr(
-        "sum(id)"
-    ).collect()
+    # The warmup UDF imports the extraction kernel so every reused Python
+    # worker pays its module-import cost here, not in round 0's parse stage
+    # (N workers × ~1 s of numpy/pandas/kernel imports, serial per worker).
+    def _warm_imports(it):
+        from webcrawler_spark.kernel.extract import extract_page  # noqa: F401
+
+        return it
+
+    spark.range(1_000_000).repartition(
+        4 * spark.sparkContext.defaultParallelism
+    ).mapInPandas(_warm_imports, "id long").selectExpr("sum(id)").collect()
     # First use of the shuffle/sort/window/expand machinery class-loads and
     # codegen-compiles whole subsystems (~1-3 s each); exercise the exact
     # shapes every crawl round uses (hash agg over a shuffle, a partitioned
@@ -166,7 +174,9 @@ def main() -> int:
     if res.docs is not None:
         store.write_table(res.docs, "docs", config.max_depth)
         phases["docs_write"] = round(time.monotonic() - t_rounds_done, 2)
-        n_docs = store.read_table(spark, "docs", config.max_depth).count()
+        # footer-based count: the written table's row count is metadata, not
+        # another cluster pass over the multi-GB docs payload
+        n_docs = store.count_table("docs", config.max_depth)
     if res.lineage:
         from webcrawler_spark.rounds import LINEAGE_SCHEMA
 

@@ -42,6 +42,17 @@ def main() -> int:
         "the host's Zipf allocation) — large seed lists make crawl rounds "
         "work-dominant from round 0",
     )
+    ap.add_argument(
+        "--layout", choices=["hash", "host"], default="hash",
+        help="physical page-table layout. 'hash' distributes rows by "
+        "xxhash64(url) so every scan split carries a ~uniform share of any "
+        "frontier's parse load (a host-clustered layout + a Zipf frontier "
+        "makes hot-host splits ~100%% parse-matched while cold splits idle — "
+        "measured par 9-10/16 cores on the fetch-join parse stages vs ~15 "
+        "after hashing). This is the explicit-skew-handling layout the "
+        "engine prescribes for its Iceberg page table; 'host' keeps "
+        "generation order (host-contiguous) for layout-sensitivity tests.",
+    )
     args = ap.parse_args()
 
     from webcrawler_spark.corpus import EPOCH, generate_pages_distributed
@@ -61,6 +72,13 @@ def main() -> int:
         for h in range(min(args.n_seeds, args.n_hosts))
         for p in range(min(args.seeds_per_host, alloc[h]))
     ]
+    if args.layout == "hash":
+        from pyspark.sql import functions as F
+
+        # ~20k pages per output file keeps scan splits fine-grained enough
+        # that one split's worst-case parse cost stays a few seconds
+        n_parts = max(64, args.n_pages // 20_000)
+        pages = pages.repartition(n_parts, F.xxhash64("url"))
     pages.write.mode("overwrite").parquet(f"{args.out}/pages")
 
     import pyarrow as pa

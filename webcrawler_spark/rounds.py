@@ -124,6 +124,10 @@ BROADCAST_FRONTIER_ROWS = BROADCAST_MAX_BYTES // FRONTIER_ROW_BYTES
 PARSE_REBALANCE_MAX_ROWS = int(
     os.environ.get("SPARK_GRAFT_PARSE_REBALANCE_MAX_ROWS", "100000")
 )
+# Partitions for the rebalance shuffle, as a multiple of defaultParallelism:
+# finer tasks shorten the stage's straggler tail (a wave is 1/mult of the
+# stage; one slow core costs 1/(mult*cores), not 1/cores).
+PARSE_REBALANCE_MULT = int(os.environ.get("SPARK_GRAFT_PARSE_REBALANCE_MULT", "2"))
 
 N_LINEAGE_PARTS = 32
 
@@ -148,7 +152,9 @@ def _balance_for_parse(
     layout. 2x-cores granularity on the small path so one throttled core
     costs half a task, not a stage tail."""
     if rows is None or rows <= PARSE_REBALANCE_MAX_ROWS:
-        return fetched.repartition(2 * spark.sparkContext.defaultParallelism)
+        return fetched.repartition(
+            PARSE_REBALANCE_MULT * spark.sparkContext.defaultParallelism
+        )
     return fetched
 
 # Seed DataFrames at or under this many rows are collected to the driver and

@@ -24,13 +24,14 @@ def get_spark(
     # a full 1/cores to stage wall; finer tasks rebalance around slow cores
     # (AQE coalescing still caps tiny shuffles at the parallelism floor)
     shuffle_partitions = shuffle_partitions or max(3 * cpus, 24)
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
@@ -45,6 +46,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # escape hatch for perf experiments: "k=v;k=v" applied last (wins).
+    # builder .config overrides spark-submit --conf for keys set above, so
+    # tuning runs need an env route that beats the builder defaults.
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -86,6 +86,21 @@ class SnapshotStore:
     def read_table(self, spark: SparkSession, table: str, version: int) -> DataFrame:
         return spark.read.parquet(self._table_dir(table, version))
 
+    def count_table(self, table: str, version: int) -> int:
+        """Row count from parquet footers (driver-side, no Spark job) — the
+        snapshot-metadata count an Iceberg table would serve from its
+        manifests. A written table's count must not cost a cluster pass."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(
+                os.path.join(self._table_dir(table, version), "*.parquet")
+            )
+        )
+
     def read_committed(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
         m = self.load_manifest()
         if m is None or table not in m.tables:
