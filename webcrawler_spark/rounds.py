@@ -311,6 +311,18 @@ class CrawlResult:
     stopped: bool = False       # True when a stop() callback cancelled the crawl
 
 
+def _content_key() -> Column:
+    """Content-hash dedup key (README.md:156, model/CrawlStatus.java:14-16):
+    identical NON-EMPTY contents share a key; empty/null contents get a
+    per-url unique key so they never mark as DUPLICATE. Computed inside the
+    parse job (JVM sha2, no extra pass) so pinned raw tables carry it and the
+    duplicate-losers pass never re-reads the segments payload."""
+    return F.when(
+        F.size(F.col("segments")) > 0,
+        F.sha2(F.concat_ws("\u001f", F.col("segments")), 256),
+    ).otherwise(F.concat(F.lit("u:"), F.col("url")))
+
+
 def _empty_result(spark: SparkSession, with_processor: bool) -> CrawlResult:
     empty_seen = spark.createDataFrame([], SEEN_SCHEMA)
     res = CrawlResult(
@@ -479,7 +491,7 @@ def run_crawl(
             # never parsed again. `text` is redundant with segments for docs
             # and excluded to keep the raw table lean.
             _tr = time.monotonic()
-            raw = extracted.drop("text")
+            raw = extracted.drop("text").withColumn("_ckey", _content_key())
             if store is not None:
                 store.write_table(raw, "raw_docs", depth)
                 raw = store.read_table(spark, "raw_docs", depth)
@@ -693,6 +705,8 @@ def run_crawl(
     if with_processor:
         raw_all = None
         for p in raw_parts:
+            if "_ckey" not in p.columns:  # raw table from a pre-_ckey snapshot
+                p = p.withColumn("_ckey", _content_key())
             raw_all = p if raw_all is None else raw_all.unionByName(p)
         res.docs = process_queue(
             spark,
@@ -865,7 +879,10 @@ def process_queue(
         "url", "title", "segments", "links", "parse_error",
         "pos", "lang", "warc_ts", "http_status", "fetch_ms",
     ]
-    ex = ex.select(*excols)
+    # compute the content-dedup key INSIDE the parse job so the pinned table
+    # carries it: the duplicate pass below then reads url+pos+_ckey only
+    # (parquet column pruning skips the multi-KB segments payload entirely)
+    ex = ex.select(*excols).withColumn("_ckey", _content_key())
     if materialize is not None:
         # pin the tail parse: the slim dup pass and the payload pass below
         # both read it, and the page must not be parsed twice
@@ -876,37 +893,35 @@ def process_queue(
                 {"phase": "docs_tail_mat", "ms": int((time.monotonic() - _tt) * 1000)}
             )
     if raw_docs is not None:
-        ex = ex.unionByName(
-            raw_docs.select(
-                *excols[:-1],
-                # P8 clamp for the raw-captured side (the extract path above
-                # already clamps)
-                F.greatest(
-                    F.lit(0).cast("long"), F.col("fetch_ms").cast("long")
-                ).alias("fetch_ms"),
-            )
+        rd = raw_docs.select(
+            *excols[:-1],
+            # P8 clamp for the raw-captured side (the extract path above
+            # already clamps)
+            F.greatest(
+                F.lit(0).cast("long"), F.col("fetch_ms").cast("long")
+            ).alias("fetch_ms"),
+            # raw tables written by current run_crawl carry _ckey already;
+            # tables from an older snapshot (resume) fall back to computing it
+            *(["_ckey"] if "_ckey" in raw_docs.columns else []),
         )
+        if "_ckey" not in rd.columns:
+            rd = rd.withColumn("_ckey", _content_key())
+        ex = ex.unionByName(rd)
 
     ts = F.to_timestamp(F.lit(crawl_ts))
     parsed = ex.filter(~F.col("parse_error"))
-    # content-hash dedup key: identical NON-EMPTY contents; empty/null
-    # contents get a per-url unique key so they never mark as DUPLICATE
-    ckey = F.when(
-        F.size(F.col("segments")) > 0,
-        F.sha2(F.concat_ws("\u001f", F.col("segments")), 256),
-    ).otherwise(F.concat(F.lit("u:"), F.col("url")))
     w_dup = Window.partitionBy("_ckey")
     if materialize is not None:
-        # scale shape: every input is now a pinned table, so the duplicate
-        # LOSERS (pos > first pos of their content key) come out of a slim
-        # column-pruned pass — url+pos+key only, ~100 B/row through the
-        # shuffle instead of the multi-KB contents/links payload — and then
-        # broadcast-join back onto the payload by url (unique in the queue).
-        # Degrade path: a loser set past the broadcast ceiling shuffle-joins;
-        # that is the window plan minus its sort, so never worse.
+        # scale shape: every input is now a pinned table CARRYING _ckey, so
+        # the duplicate LOSERS (pos > first pos of their content key) come out
+        # of a slim column-pruned pass — url+pos+_ckey only, ~100 B/row read
+        # and shuffled, never touching the multi-KB contents/links payload —
+        # and then broadcast-join back onto the payload by url (unique in the
+        # queue). Degrade path: a loser set past the broadcast ceiling
+        # shuffle-joins; that is the window plan minus its sort, so never worse.
         _tl = time.monotonic()
         losers = (
-            parsed.select("url", "pos", ckey.alias("_ckey"))
+            parsed.select("url", "pos", "_ckey")
             .withColumn("_first_pos", F.min("pos").over(w_dup))
             .filter(F.col("pos") > F.col("_first_pos"))
             .select("url")
@@ -926,9 +941,7 @@ def process_queue(
             F.when(F.col("_isdup") == 1, F.lit("DUPLICATE")).otherwise(F.lit("OK"))
         )
     else:
-        keyed = parsed.withColumn("_ckey", ckey).withColumn(
-            "_first_pos", F.min("pos").over(w_dup)
-        )
+        keyed = parsed.withColumn("_first_pos", F.min("pos").over(w_dup))
         dup_status = (
             F.when(F.col("pos") > F.col("_first_pos"), F.lit("DUPLICATE"))
             .otherwise(F.lit("OK"))
