@@ -53,6 +53,15 @@ class CrawlConfig:
             if p and p.url_pattern:
                 self._page_rules[p.url_pattern] = build_rules(p.content_rules)
 
+    @property
+    def has_content_rules(self) -> bool:
+        """True when any extraction rule exists anywhere (generic or per-page).
+        When False, extraction yields empty contents for EVERY page by
+        reference semantics (ContentExtractor.java:83-88: both rule sets empty
+        -> empty result), so identical-non-empty-contents DUPLICATE marking
+        (model/CrawlStatus.java:14-16) cannot fire on any document."""
+        return bool(self._generic_rules) or any(self._page_rules.values())
+
     # -- rule resolution ------------------------------------------------------
     def get_content_rules(self, url: Optional[str]) -> List[Rule]:
         """First page whose urlPattern fully matches wins; else generic rules

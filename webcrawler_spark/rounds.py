@@ -911,7 +911,14 @@ def process_queue(
     ts = F.to_timestamp(F.lit(crawl_ts))
     parsed = ex.filter(~F.col("parse_error"))
     w_dup = Window.partitionBy("_ckey")
-    if materialize is not None:
+    if not config.has_content_rules:
+        # no extraction rules anywhere -> every doc's contents are empty by
+        # reference semantics, so the content-hash DUPLICATE pass cannot mark
+        # anything: skip its whole-queue shuffle outright (this is the
+        # rules-less frontier-refresh shape — the common 10^10-scale crawl)
+        keyed = parsed
+        dup_status = F.lit("OK")
+    elif materialize is not None:
         # scale shape: every input is now a pinned table CARRYING _ckey, so
         # the duplicate LOSERS (pos > first pos of their content key) come out
         # of a slim column-pruned pass — url+pos+_ckey only, ~100 B/row read
