@@ -27,7 +27,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_HOSTS = 40
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64      # keep in lockstep with pipeline.dedup.SIMHASH_BITS
+SIMHASH_LO_BITS = 60   # bits 0-59 from hash64, 60-63 from hash64_hi
 
 # ---------------------------------------------------------------------------
 # shared builders
@@ -71,6 +72,7 @@ _URLS_SQL = f"""
 """
 
 _HASH64_SQL = "(('0x' || substr(sha256({x}), 1, 15))::bigint)"
+_HASH64_HI_SQL = "(('0x' || substr(sha256({x}), 16, 15))::bigint)"
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
@@ -768,12 +770,20 @@ def q_dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sql() -> str:
     h = _HASH64_SQL.format(x="tok")
+    h2 = _HASH64_HI_SQL.format(x="tok")
     sums = ",\n".join(
-        f"sum(case when ({h} >> {j}) & 1 = 1 then 1 else -1 end) as s_{j}"
+        f"sum(case when ({h if j < SIMHASH_LO_BITS else h2} >> "
+        f"{j if j < SIMHASH_LO_BITS else j - SIMHASH_LO_BITS}) & 1 = 1 "
+        f"then 1 else -1 end) as s_{j}"
         for j in range(SIMHASH_BITS)
     )
+    # bit 63 contributes the two's-complement sign value (written as
+    # -(2^63 - 1) - 1 so neither engine parses an out-of-range literal)
     bits = " + ".join(
-        f"(case when s_{j} > 0 then {1 << j}::bigint else 0 end)" for j in range(SIMHASH_BITS)
+        f"(case when s_{j} > 0 then "
+        + ("(-9223372036854775807 - 1)::bigint" if j == 63 else f"{1 << j}::bigint")
+        + " else 0 end)"
+        for j in range(SIMHASH_BITS)
     )
     return f"""
 with toks as (select doc_id, unnest({_TOKS_SQL}) as tok from documents),
@@ -782,14 +792,21 @@ select doc_id, ({bits})::bigint as simhash from sums
 """
 
 
+_SIMHASH_MAX_HAMMING = 24  # ≈ the old 12-of-32 looseness at 64 bits
+_SIMHASH_MAX_BLOCK = 2000
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band-blocked SimHash near-dup pairs: pigeonhole on 4 8-bit bands,
-    exact Hamming verify ≤ 12 on candidates (loose threshold so the synthetic
+    """Band-blocked SimHash near-dup pairs: pigeonhole on 4 16-bit bands
+    (65,536 block values — the scale-safe blocking), block-size cap, exact
+    Hamming verify ≤ 24 on candidates (loose threshold so the synthetic
     corpus yields non-empty pairs — recall is band-bounded either way)."""
     from webcrawler_spark.pipeline.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=12, n_bands=4).select("a", "b", "hamming")
+    return simhash_pairs(
+        d, max_hamming=_SIMHASH_MAX_HAMMING, n_bands=4, max_block=_SIMHASH_MAX_BLOCK
+    ).select("a", "b", "hamming")
 
 
 def _simhash_pairs_sql() -> str:
@@ -798,14 +815,18 @@ def _simhash_pairs_sql() -> str:
 with sig as ({inner}),
 blocks as (
   select doc_id as id, simhash, b.band,
-         (simhash >> (b.band * 8)) & 255 as blk
+         (simhash >> (b.band * 16)) & 65535 as blk
   from sig cross join (values (0), (1), (2), (3)) as b(band)),
+kept as (
+  select * from (
+    select *, count(*) over (partition by band, blk) as _bsz from blocks)
+  where _bsz <= {_SIMHASH_MAX_BLOCK}),
 cand as (
   select distinct l.id as a, r.id as b,
          bit_count(xor(l.simhash, r.simhash))::int as hamming
-  from blocks l join blocks r
+  from kept l join kept r
     on l.band = r.band and l.blk = r.blk and l.id < r.id)
-select a, b, hamming from cand where hamming <= 12
+select a, b, hamming from cand where hamming <= {_SIMHASH_MAX_HAMMING}
 """
 
 
@@ -866,7 +887,7 @@ def q_embed_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 1_000_000
     )
     pairs = embedding_near_dupes(
-        e.unionByName(planted), threshold=0.95, n_planes=8, dim=64
+        e.unionByName(planted), threshold=0.95, n_planes=16, dim=64, max_bucket=1000
     )
     return pairs.select("a", "b", _e(F.col("cos"), 4).alias("cos_e4"))
 
@@ -880,7 +901,7 @@ with base as (
 coefs as (
   select p.p, i.i,
          (({_HASH64_SQL.format(x="p.p || ':' || i.i")} % 2001) - 1000)::double / 1000.0 as c
-  from range(0, 8) p(p), range(0, 64) i(i)),
+  from range(0, 16) p(p), range(0, 64) i(i)),
 plane as (
   select b.vec_id, c.p,
          sum(b.e[c.i + 1] * c.c order by c.i) as dot
@@ -889,7 +910,11 @@ plane as (
 sk as (
   select vec_id, sum(case when dot > 0 then (1 << p) else 0 end)::bigint as sk
   from plane group by vec_id),
-v as (select b.vec_id, b.e, s.sk from base b join sk s using (vec_id)),
+v0 as (select b.vec_id, b.e, s.sk from base b join sk s using (vec_id)),
+v as (
+  select * from (
+    select *, count(*) over (partition by sk) as _bsz from v0)
+  where _bsz > 1 and _bsz <= 1000),
 pairs as (
   select l.vec_id as a, r.vec_id as b,
          round(list_dot_product(l.e, r.e) /

@@ -40,6 +40,32 @@ def _hash64(s: str) -> int:
     return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
 
 
+def _hash64_hi(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[15:30], 16)
+
+
+def _simhash64(toks):
+    """Pure-Python model of pipeline.dedup.simhash_signatures: 64-bit, bits
+    0-59 from _hash64, 60-63 from _hash64_hi, bit 63 = two's-complement sign."""
+    from webcrawler_spark.pipeline.dedup import SIMHASH_BITS, SIMHASH_LO_BITS
+
+    sig = 0
+    for j in range(SIMHASH_BITS):
+        s = sum(
+            1
+            if (
+                (_hash64(t) >> j) & 1
+                if j < SIMHASH_LO_BITS
+                else (_hash64_hi(t) >> (j - SIMHASH_LO_BITS)) & 1
+            )
+            else -1
+            for t in toks
+        )
+        if s > 0:
+            sig |= 1 << j
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
 # ---------------------------------------------------------------------------
 # textstats
 # ---------------------------------------------------------------------------
@@ -146,20 +172,32 @@ def test_minhash_lsh_finds_planted_dup(spark):
 
 
 def test_simhash_signature_matches_python(spark):
-    from webcrawler_spark.pipeline.dedup import simhash_signatures, SIMHASH_BITS
+    from webcrawler_spark.pipeline.dedup import simhash_signatures
 
     rows = [(1, "alpha beta gamma alpha"), (2, "alpha beta gamma delta")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
 
     for doc_id, text in rows:
-        toks = _tokens(text)
-        sig = 0
-        for j in range(SIMHASH_BITS):
-            s = sum(1 if (_hash64(t) >> j) & 1 else -1 for t in toks)
-            if s > 0:
-                sig |= 1 << j
-        assert got[doc_id] == sig
+        assert got[doc_id] == _simhash64(_tokens(text))
+
+
+def test_simhash_signature_negative_sign_bit(spark):
+    """A signature with bit 63 set must come out as the exact negative int64
+    (two's complement) — probing the sign-bit assembly both engines share."""
+    from webcrawler_spark.pipeline.dedup import simhash_signatures
+
+    # single-token docs: signature == the token's (h | h2<<60) pattern, so
+    # search a few tokens for one whose bit 63 is set
+    tok = next(
+        t
+        for t in (f"tok{i}" for i in range(64))
+        if (_hash64_hi(t) >> 3) & 1
+    )
+    df = spark.createDataFrame([(1, tok)], ["doc_id", "text"])
+    got = simhash_signatures(df).collect()[0]["simhash"]
+    assert got < 0
+    assert got == _simhash64([tok])
 
 
 def test_simhash_pairs_near_dup(spark):
@@ -172,15 +210,66 @@ def test_simhash_pairs_near_dup(spark):
         "politeness robots priority salt skew merge append snapshot manifest "
         "token corpus text dedup jaccard cosine embedding centroid probe recall"
     )
+    doubled = f"{base} {base}"
     rows = [
-        (1, base),
-        (2, base.replace("cosine", "fox")),  # 1 of 46 tokens differs → hamming 4
-        (3, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"),  # hamming 17 vs doc 1
+        (1, doubled),
+        # 1 of 92 token occurrences differs → hamming 4, sharing ≥1 band
+        (2, doubled.replace("cosine", "fox", 1)),
+        (3, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"),  # unrelated
     ]
+    sig = {i: _simhash64(_tokens(t)) for i, t in rows}
+    ham12 = bin((sig[1] ^ sig[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((sig[1] ^ sig[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 < ham13  # the near-dup really is nearer under the model
+    # the pair must share a 16-bit band, else blocking can't surface it
+    assert any(
+        ((sig[1] >> (k * 16)) & 0xFFFF) == ((sig[2] >> (k * 16)) & 0xFFFF)
+        for k in range(4)
+    )
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=4).collect()}
-    assert pairs.get((1, 2)) == 4
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=ham12).collect()
+    }
+    assert pairs.get((1, 2)) == ham12
     assert all(3 not in p for p in pairs)
+
+
+def test_simhash_block_cap_drops_hot_block(spark):
+    """A planted pathological cluster (many identical docs → one block holds
+    them all in every band) must be DROPPED by max_block instead of exploding
+    into O(k²) pairs, and must show up in simhash_dropped_blocks."""
+    from webcrawler_spark.pipeline.dedup import (
+        simhash_dropped_blocks,
+        simhash_pairs,
+    )
+
+    hot = [(i, "identical boilerplate page body text here") for i in range(50)]
+    base = (
+        "spark shuffle partition broadcast join window aggregate filter scan "
+        "column table schema parquet arrow batch vector codegen catalyst tungsten "
+        "executor driver task stage lineage checkpoint frontier crawl queue bloom"
+    )
+    doubled = f"{base} {base}"
+    near = [(100, doubled), (101, doubled.replace("bloom", "fox", 1))]
+    sig = {i: _simhash64(_tokens(t)) for i, t in near}
+    assert any(  # the organic near-dup must share a band to be findable
+        ((sig[100] >> (k * 16)) & 0xFFFF) == ((sig[101] >> (k * 16)) & 0xFFFF)
+        for k in range(4)
+    )
+    df = spark.createDataFrame(hot + near, ["doc_id", "text"])
+    pairs = {
+        (r["a"], r["b"])
+        for r in simhash_pairs(df, max_hamming=30, max_block=10).collect()
+    }
+    # no pair from the capped hot cluster; the organic near-dup survives
+    assert all(a >= 100 and b >= 100 for a, b in pairs)
+    assert (100, 101) in pairs
+    dropped = simhash_dropped_blocks(df, max_block=10).collect()
+    assert dropped and all(r["n_ids"] == 50 for r in dropped)
+    # uncapped, the same cluster yields 50*49/2 pairs per its block
+    full = simhash_pairs(df, max_hamming=0, max_block=2000)
+    assert full.filter((F.col("a") < 100) & (F.col("b") < 100)).count() == 50 * 49 // 2
 
 
 def test_ngram_jaccard_oracle(spark, docs, ddb):
@@ -229,6 +318,31 @@ def test_embedding_near_dupes_planted(spark):
     pairs = {(r["a"], r["b"]) for r in embedding_near_dupes(df, threshold=0.99).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_embedding_bucket_cap_drops_hot_bucket(spark):
+    """A degenerate cluster of identical vectors (all in one sketch bucket)
+    is dropped by max_bucket instead of going quadratic, and is reported by
+    embedding_dropped_buckets; an organic near-dup pair elsewhere survives."""
+    from webcrawler_spark.pipeline.dedup import (
+        embedding_dropped_buckets,
+        embedding_near_dupes,
+    )
+
+    hot_vec = [float((i * 7) % 13 - 6) for i in range(64)]
+    v = [float(i % 7 - 3) for i in range(64)]
+    v2 = list(v)
+    v2[0] += 0.01
+    rows = [(i, hot_vec) for i in range(50)] + [(100, v), (101, v2)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_near_dupes(df, threshold=0.99, max_bucket=10).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(a >= 100 and b >= 100 for a, b in pairs)
+    dropped = embedding_dropped_buckets(df, max_bucket=10).collect()
+    assert dropped and all(r["n_ids"] == 50 for r in dropped)
 
 
 # ---------------------------------------------------------------------------

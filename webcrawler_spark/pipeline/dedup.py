@@ -15,17 +15,21 @@ Scale notes (the 100 TB story — each operator states its shuffle shape):
   the near-dup cluster size — the whole point of banding is that the O(n²)
   pair space never materializes. Bucket-size cap guards pathological clusters
   (e.g. boilerplate pages) from quadratic pair blow-up inside one bucket.
-- ``simhash_pairs``: per-doc 32-bit signature via one token explode +
+- ``simhash_pairs``: per-doc 64-bit signature via one token explode +
   conditional aggregation (single shuffle with combiners); candidate pairing
-  blocks on simhash bands (two 16-bit halves — any pair within Hamming
-  distance 1..16 shares at least one half by pigeonhole for d ≤ 1 per half).
+  blocks on four 16-bit bands (65,536 block values per band — the standard
+  SimHash blocking config, so a band block holds ~n/65536 docs instead of the
+  n/256 a narrower band would) with a ``max_block`` cap that drops
+  pathological blocks (boilerplate clusters) before they go quadratic;
+  ``simhash_dropped_blocks`` reports what the cap dropped.
 - ``ngram_jaccard_pairs``: exact Jaccard via shingle-inverted-index self-join;
   shuffle keyed by shingle. Hot shingles (boilerplate) are dropped by a
   document-frequency cap — the standard "stop-shingle" guard that keeps the
   join output linear-ish at corpus scale.
 - ``embedding_near_dupes``: exact cosine over LSH-bucketed candidates (random
-  hyperplane signs) — avoids the O(n²) cross join; brute-force variant lives
-  in ``similarity.cosine_topk``.
+  hyperplane signs, 65,536 buckets at the default 16 planes, ``max_bucket``
+  cap on degenerate clusters) — avoids the O(n²) cross join; brute-force
+  variant lives in ``similarity.cosine_topk``.
 
 Everything is built-in expressions: value-for-value DuckDB-oracle-checkable.
 """
@@ -37,9 +41,14 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textprep import cosine_sim, hash64, shingles_col, spread, tokens_col
+from .textprep import cosine_sim, hash64, hash64_hi, shingles_col, spread, tokens_col
 
-SIMHASH_BITS = 32
+# 64-bit signature (the standard SimHash width): bits 0-59 come from hash64
+# (sha256 hex chars 1-15), bits 60-63 from hash64_hi (chars 16-30 of the SAME
+# digest) — full 64 bits without a second sha256 evaluation, and every bit is
+# reproducible in ANSI SQL for the DuckDB oracle.
+SIMHASH_BITS = 64
+SIMHASH_LO_BITS = 60  # bits below this index read hash64; the rest hash64_hi
 
 
 # ---------------------------------------------------------------------------
@@ -165,50 +174,51 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash): 32-bit SimHash over whitespace tokens.
+    """(id, simhash): 64-bit SimHash over whitespace tokens.
 
-    bit j of simhash = 1 iff Σ_tokens (±1 by bit j of hash64(token)) > 0.
-    One explode + one groupBy(id) with 32 conditional sums (combiners apply).
+    bit j of simhash = 1 iff Σ_tokens (±1 by bit j of the token hash) > 0;
+    bits 0-59 read hash64(token), bits 60-63 read hash64_hi(token) (same
+    sha256 digest, no extra hashing). Bit 63 contributes the two's-complement
+    sign value so the signature is a plain signed int64 in both engines.
+    One explode + one groupBy(id) with 64 conditional sums (combiners apply).
     """
     toks = tokens_col(F.col(text_col))
     tok = (
         spread(df).select(F.col(id_col), F.explode(toks).alias("tok"))
         .withColumn("h", hash64(F.col("tok")))
+        .withColumn("h2", hash64_hi(F.col("tok")))
     )
+
+    def bit(j: int) -> Column:
+        if j < SIMHASH_LO_BITS:
+            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("h2"), j - SIMHASH_LO_BITS).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{j}")
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s_{j}")
         for j in range(SIMHASH_BITS)
     ]
     summed = tok.groupBy(id_col).agg(*aggs)
     sim: Column = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        # bit 63 = -(2^63) in two's complement; the bit values are disjoint so
+        # plain addition assembles the signed signature exactly
+        bitval = -(1 << 63) if j == 63 else (1 << j)
+        sim = sim + F.when(F.col(f"s_{j}") > 0, F.lit(bitval).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return summed.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-    n_bands: int = 4,
+def _simhash_band_rows(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int
 ) -> DataFrame:
-    """Near-dup pairs (a, b, hamming ≤ max_hamming) via band blocking.
-
-    Signature split into ``n_bands`` contiguous bands (8 bits each at the
-    default 32/4); pigeonhole guarantees any pair with hamming < n_bands
-    shares at least one identical band, so candidate generation is lossless
-    for max_hamming ≤ n_bands − 1 and recall-trading above that (standard
-    SimHash practice: block on bands, verify exact Hamming on candidates).
-    """
+    """(id, simhash, band, blk): the signature exploded into band rows, one
+    evaluation of the (expensive) signature aggregation. blk is the band's
+    16-bit slice (arithmetic shift + mask — identical in Spark and DuckDB)."""
     sig = simhash_signatures(df, id_col, text_col)
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
-    # single evaluation of the signature aggregation, exploded into band rows
     band_structs = F.array(
         *[
             F.struct(
@@ -220,36 +230,89 @@ def simhash_pairs(
             for k in range(n_bands)
         ]
     )
-    blocks = sig.select(
+    return sig.select(
         F.col(id_col).alias("id"), F.col("simhash"), F.explode(band_structs).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.blk").alias("blk"))
-    left = blocks.alias("l")
-    right = blocks.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        # dedup the (pair, signatures) rows BEFORE scoring: a pair sharing k
-        # bands would otherwise be XOR/bit_count-scored k times and only then
-        # collapsed — the distinct is the same shuffle either way, the
-        # scoring moves to once per unique pair
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.simhash").alias("sa"),
-            F.col("r.simhash").alias("sb"),
-        )
-        .distinct()
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_block: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming ≤ max_hamming) via band blocking.
+
+    Signature split into ``n_bands`` contiguous bands (16 bits each at the
+    default 64/4 → 65,536 block values per band); pigeonhole guarantees any
+    pair with hamming < n_bands shares at least one identical band, so
+    candidate generation is lossless for max_hamming ≤ n_bands − 1 and
+    recall-trading above that (standard SimHash practice: block on bands,
+    verify exact Hamming on candidates).
+
+    Scale: in-block pairing is quadratic in block size, so blocks larger than
+    ``max_block`` are dropped outright (boilerplate guard — the same cap
+    ``minhash_lsh_pairs`` applies); audit what was dropped with
+    ``simhash_dropped_blocks``. Block membership is collected per (band, blk)
+    — bounded by the cap — and pairs explode from the sorted member list, so
+    the O(n²) pair space never materializes outside a block.
+    """
+    blocks = _simhash_band_rows(df, id_col, text_col, n_bands)
+    buckets = (
+        blocks.groupBy("band", "blk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_block))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size("ms")),
+                        lambda b: F.struct(
+                            a["id"].alias("a"),
+                            b["id"].alias("b"),
+                            a["simhash"].alias("sa"),
+                            b["simhash"].alias("sb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.sa", "p.sb")
+    # dedup pairs sharing several bands BEFORE scoring: distinct is the same
+    # shuffle either way, the XOR/bit_count moves to once per unique pair
+    return (
+        pairs.distinct()
         .select(
             "a",
             "b",
             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_dropped_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_block: int = 2000,
+) -> DataFrame:
+    """(band, blk, n_ids) for blocks the ``max_block`` cap silently drops from
+    ``simhash_pairs`` — run/log this beside a production dedup pass so capped
+    coverage is visible instead of silent (a dropped block is usually a
+    boilerplate cluster worth exact-dedup'ing separately)."""
+    return (
+        _simhash_band_rows(df, id_col, text_col, n_bands)
+        .groupBy("band", "blk")
+        .agg(F.count("*").cast("long").alias("n_ids"))
+        .filter(F.col("n_ids") > max_block)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -306,21 +369,13 @@ def ngram_jaccard_pairs(
 # Embedding cosine near-dup (LSH-bucketed)
 # ---------------------------------------------------------------------------
 
-def embedding_near_dupes(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.95,
-    n_planes: int = 8,
-    dim: int = 64,
+def _embedding_sketches(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, dim: int
 ) -> DataFrame:
-    """Near-duplicate vector pairs (a, b, cos ≥ threshold) via random-
-    hyperplane LSH: sign-bit sketch over ``n_planes`` deterministic pseudo-
-    random hyperplanes (hash64-derived coefficients), bucket on the sketch,
-    exact cosine within buckets only. High-cosine pairs collide with
-    probability (1 − θ/π)^n_planes — the scale path vs the O(n²) cross join.
-    """
-    # deterministic hyperplanes: coef(p, i) = (hash64('p:i') % 2001 - 1000)/1000
+    """(id, v, sk): sign-bit hyperplane sketch per vector. Hyperplanes are
+    deterministic pseudo-random: coef(p, i) = (hash64('p:i') % 2001 − 1000)/1000
+    — reproducible bit-for-bit in the DuckDB oracle."""
+
     def plane_dot(vec: Column, p: int) -> Column:
         vd = F.transform(vec, lambda x: x.cast("double"))
         coef = F.transform(
@@ -341,10 +396,45 @@ def embedding_near_dupes(
         sketch = sketch + F.when(plane_dot(F.col(vec_col), p) > 0, F.lit(1 << p)).otherwise(
             F.lit(0)
         )
-    sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk"))
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk")
+    )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    dim: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate vector pairs (a, b, cos ≥ threshold) via random-
+    hyperplane LSH: sign-bit sketch over ``n_planes`` deterministic pseudo-
+    random hyperplanes (hash64-derived coefficients), bucket on the sketch,
+    exact cosine within buckets only. High-cosine pairs collide with
+    probability (1 − θ/π)^n_planes — the scale path vs the O(n²) cross join.
+
+    Scale: 16 planes → 65,536 sketch buckets (8 planes' 256 buckets would put
+    ~n/256 vectors in every bucket and make the in-bucket exact cosine
+    quadratic at corpus scale), and buckets larger than ``max_bucket`` are
+    dropped before pairing (a giant bucket means a degenerate embedding
+    cluster — exact-dedup it separately); audit the drops with
+    ``embedding_dropped_buckets``. Identical vectors always share the full
+    sketch, so exact duplicates survive any plane count.
+    """
+    sk = _embedding_sketches(df, id_col, vec_col, n_planes, dim)
+    keep = (
+        sk.groupBy("sk")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("sk")
+    )
+    skk = sk.join(keep, "sk", "inner")
     pairs = (
-        sk.alias("l")
-        .join(sk.alias("r"), (F.col("l.sk") == F.col("r.sk")) & (F.col("l.id") < F.col("r.id")))
+        skk.alias("l")
+        .join(skk.alias("r"), (F.col("l.sk") == F.col("r.sk")) & (F.col("l.id") < F.col("r.id")))
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
@@ -353,3 +443,21 @@ def embedding_near_dupes(
         .filter(F.col("cos") >= threshold)
     )
     return pairs
+
+
+def embedding_dropped_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(sk, n_ids) for sketch buckets the ``max_bucket`` cap drops from
+    ``embedding_near_dupes`` — surface capped coverage instead of hiding it."""
+    return (
+        _embedding_sketches(df, id_col, vec_col, n_planes, dim)
+        .groupBy("sk")
+        .agg(F.count("*").cast("long").alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket)
+    )

@@ -48,6 +48,13 @@ def hash64(s: Column) -> Column:
     return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
 
 
+def hash64_hi(s: Column) -> Column:
+    """A SECOND independent 60-bit hash from the same sha256 digest (hex chars
+    16-30) — zero extra hashing. Used where one hash64 doesn't supply enough
+    bits (e.g. the 64-bit SimHash signature needs bits 60-63)."""
+    return F.conv(F.substring(F.sha2(s, 256), 16, 15), 16, 10).cast("long")
+
+
 def shingles_col(toks: Column, k: int) -> Column:
     """Distinct word k-shingles (space-joined runs of k tokens), in-order
     first-occurrence distinct. Docs with < k tokens get the whole-doc shingle
