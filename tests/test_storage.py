@@ -146,3 +146,13 @@ def test_catalog_docs_through_alias(spark, tmp_path):
         assert False
     except Exception:
         pass
+
+
+def test_count_table_missing_raises(tmp_path):
+    """A never-written table version must raise, not report 0 rows — a failed
+    docs write surfacing as docs:0 hides the failure (ADVICE r2)."""
+    from webcrawler_spark.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        store.count_table("docs", 3)

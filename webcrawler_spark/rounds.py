@@ -397,9 +397,10 @@ def run_crawl(
         seen = spark.createDataFrame([], SEEN_SCHEMA)
         queue_size = 0
 
+    # the bloom sidecar is built AFTER the resume block below: a resume either
+    # loads the persisted sidecar table or rebuilds from the restored seen set
+    # — building one from the seed seen here would be thrown away either way
     sidecar = None
-    if use_bloom:
-        sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
 
     # Single-parse (WebPageProcessor parses each page ONCE for both links and
     # content): in processor mode the round's link-harvest parse also carries
@@ -446,9 +447,14 @@ def run_crawl(
     frontier_rows = n_seeds
 
     start_depth = 0
+    resumed_had_rules = False
     if resume and store is not None:
         m = store.load_manifest()
         if m is not None and m.meta.get("stopped_next_depth") is not None:
+            # raw_docs snapshots written under a rules-bearing config carry
+            # non-empty segments; the docs pass's DUPLICATE skip must key off
+            # the UNION of configs, not just the current one (ADVICE r2)
+            resumed_had_rules = bool(m.meta.get("has_content_rules", False))
             # pick the crawl back up at the committed round boundary: every
             # table below was written atomically by the stop path
             start_depth = int(m.meta["stopped_next_depth"])
@@ -468,10 +474,15 @@ def run_crawl(
                     spark, "lineage_ckpt", start_depth
                 ).collect()
             ]
-            if use_bloom:
-                # one-time rebuild from the committed seen set; incremental
-                # merges take over again from here
-                sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
+            if use_bloom and m.tables.get("bloom_sidecar") == start_depth:
+                # the stop path persisted the sidecar — load it instead of
+                # the O(|seen|) rebuild (at 10^10 seen URLs the rebuild is a
+                # full table pass before round 1); a legacy snapshot without
+                # the table falls through to the rebuild below
+                sidecar = store.read_table(spark, "bloom_sidecar", start_depth)
+
+    if use_bloom and sidecar is None:
+        sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
 
     stopped_at: Optional[int] = None
     for depth in range(start_depth, max_depth + 1):
@@ -520,7 +531,8 @@ def run_crawl(
         # first occurrence within the round (intra-round self-dedup) then the
         # seen flag — a LEFT join (not anti) so dup rows ride into the stats
         first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"])
-        flagged = flag_seen(first, seen, sidecar=sidecar)
+        round_caches: List[DataFrame] = []
+        flagged = flag_seen(first, seen, sidecar=sidecar, cache_registry=round_caches)
         if with_processor:
             flagged = flagged.withColumn("_vis", F.col("_dup"))
         else:
@@ -598,6 +610,11 @@ def run_crawl(
         else:
             round_tbl = round_tbl.localCheckpoint(eager=True)
         b.unpersist()
+        # the round table is pinned; nothing re-reads the bloom prefilter
+        # cache after this point — release it or a deep crawl accumulates
+        # one cached relation per round
+        for c in round_caches:
+            c.unpersist()
         res.timings.append(
             {"phase": f"r{depth}_mat", "ms": int((time.monotonic() - _tm) * 1000)}
         )
@@ -665,12 +682,18 @@ def run_crawl(
                 stopped_at,
             )
             m = store.load_manifest() or Manifest()
+            if use_bloom and sidecar is not None:
+                # persist the sidecar so resume loads ~n_buckets bloom rows
+                # instead of rebuilding from the full seen table
+                store.write_table(sidecar, "bloom_sidecar", stopped_at)
+                m.tables["bloom_sidecar"] = stopped_at
             m.committed_round = stopped_at - 1
             m.tables["url_seen"] = stopped_at
             m.meta["stopped_next_depth"] = stopped_at
             m.meta["queue_size"] = queue_size
             m.meta["frontier_rows"] = frontier_rows
             m.meta["fetched_est"] = fetched_est
+            m.meta["has_content_rules"] = bool(config.has_content_rules) or resumed_had_rules
             store.commit(m)
         res.queue = seen.select("url", "pos").orderBy("pos")
         res.seen = seen
@@ -719,6 +742,7 @@ def run_crawl(
             raw_rows=fetched_est,
             materialize=_tail_materializer(spark, store, max_depth + 1),
             timings=res.timings,
+            has_content_rules=config.has_content_rules or resumed_had_rules,
         )
     return res
 
@@ -777,6 +801,7 @@ def process_queue(
     raw_rows: Optional[int] = None,
     materialize=None,
     timings: Optional[List[dict]] = None,
+    has_content_rules: Optional[bool] = None,
 ) -> DataFrame:
     """WebPageProcessor.processUrl over the whole admitted queue as one batch
     (the reference's N virtual-thread workers become Spark tasks — SURVEY §2.3 P1).
@@ -911,11 +936,16 @@ def process_queue(
     ts = F.to_timestamp(F.lit(crawl_ts))
     parsed = ex.filter(~F.col("parse_error"))
     w_dup = Window.partitionBy("_ckey")
-    if not config.has_content_rules:
+    if has_content_rules is None:
+        has_content_rules = config.has_content_rules
+    if not has_content_rules:
         # no extraction rules anywhere -> every doc's contents are empty by
         # reference semantics, so the content-hash DUPLICATE pass cannot mark
         # anything: skip its whole-queue shuffle outright (this is the
-        # rules-less frontier-refresh shape — the common 10^10-scale crawl)
+        # rules-less frontier-refresh shape — the common 10^10-scale crawl).
+        # Callers resuming from a snapshot pass has_content_rules = current
+        # config OR the snapshot's recorded flag, so raw tables written under
+        # a rules-bearing config never skip the pass.
         keyed = parsed
         dup_status = F.lit("OK")
     elif materialize is not None:
@@ -1208,7 +1238,8 @@ def run_polite_crawl(
             F.col("_oe.link_pos").alias("e_link_pos"),
             F.col("_oe.child_depth").alias("e_child_depth"),
         )
-        flagged = flag_seen(first, seen, sidecar=sidecar)
+        round_caches: List[DataFrame] = []
+        flagged = flag_seen(first, seen, sidecar=sidecar, cache_registry=round_caches)
         vm = visited.select("url").withColumn("_v", F.lit(1))
         flagged = (
             flagged.join(vm, "url", "left")
@@ -1309,6 +1340,8 @@ def run_polite_crawl(
         else:
             round_tbl = round_tbl.localCheckpoint(eager=True)
         b.unpersist()
+        for c in round_caches:  # release the round's bloom prefilter cache
+            c.unpersist()
 
         new_seen = round_tbl.filter(F.col("pos").isNotNull()).select(
             "url", "pos", "host_hash", "first_depth"

@@ -46,13 +46,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    # escape hatch for perf experiments: "k=v;k=v" applied last (wins).
-    # builder .config overrides spark-submit --conf for keys set above, so
-    # tuning runs need an env route that beats the builder defaults.
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    # escape hatch for perf experiments: "k=v;k=v" applied LAST, so the env
+    # route wins over both the builder defaults above and programmatic
+    # extra_conf — builder .config overrides spark-submit --conf for keys set
+    # here, so tuning runs need a route that beats everything.
     for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
         if "=" in kv:
             k, v = kv.split("=", 1)
             b = b.config(k.strip(), v.strip())
-    for k, v in (extra_conf or {}).items():
-        b = b.config(k, v)
     return b.getOrCreate()

@@ -89,17 +89,22 @@ class SnapshotStore:
     def count_table(self, table: str, version: int) -> int:
         """Row count from parquet footers (driver-side, no Spark job) — the
         snapshot-metadata count an Iceberg table would serve from its
-        manifests. A written table's count must not cost a cluster pass."""
+        manifests. A written table's count must not cost a cluster pass.
+
+        Raises FileNotFoundError when the table version was never written
+        (missing dir or no part files): a failed write must surface as an
+        error, not report 0 rows (ADVICE r2)."""
         import glob as _glob
 
         import pyarrow.parquet as pq
 
-        return sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(
-                os.path.join(self._table_dir(table, version), "*.parquet")
+        d = self._table_dir(table, version)
+        files = _glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            raise FileNotFoundError(
+                f"no parquet files for table {table!r} v={version} under {d}"
             )
-        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
     def read_committed(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
         m = self.load_manifest()
