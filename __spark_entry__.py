@@ -1278,6 +1278,159 @@ def _crawl_status_counts_sql() -> str:
     )
 
 
+_POLITE_CORPUS = dict(seed=11, n_hosts=4, n_pages=28)
+_POLITE_CAPPED_CFG = dict(
+    max_depth=2, per_host_budget=3, global_qps=1,
+    politeness_window_ms=5_000, max_concurrent_per_domain=2,
+)
+_TIMED_CFG = dict(max_depth=2, per_host_budget=3, politeness_window_ms=10_000)
+_TIMED_DELAYS = [0, 2_000, 25_000, 4_000]  # per host, by sorted host order
+
+
+def _timed_delay_map(corpus) -> dict:
+    hosts = sorted({u.split("/")[2] for u in corpus.pages})
+    return {h: _TIMED_DELAYS[i % len(_TIMED_DELAYS)] for i, h in enumerate(hosts)}
+
+
+def q_crawl_polite_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite crawl with ALL README.md:55-57 caps live: per-host budget 3,
+    globalQps 1 over a 5 s window (5 admissions/round TOTAL) and
+    maxConcurrentPerDomain 2. The DuckDB oracle is the sequential politeness
+    oracle's queue order embedded as a VALUES literal."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.rounds import run_polite_crawl
+
+    corpus = generate_corpus(**_POLITE_CORPUS)
+    rows = [
+        {"url": r["url"], "html": bytes(r["html"]), "lang": r["lang"], "warc_ts": r["warc_ts"]}
+        for r in corpus.rows()
+    ]
+    pages = spark.createDataFrame(rows)
+    cfg = CrawlConfig(**_POLITE_CAPPED_CFG)
+    res = run_polite_crawl(spark, pages, corpus.seeds, cfg, with_processor=False)
+    return res.queue
+
+
+def _crawl_polite_capped_sql() -> str:
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.oracle import crawl_oracle_polite
+
+    corpus = generate_corpus(**_POLITE_CORPUS)
+    golden = crawl_oracle_polite(
+        {u: h for u, (t, h, l) in corpus.pages.items()},
+        corpus.seeds,
+        CrawlConfig(**_POLITE_CAPPED_CFG),
+    ).queue_order
+    vals = ", ".join(
+        "('{u}', {p})".format(u=u.replace("'", "''"), p=p)
+        for p, u in enumerate(golden)
+    )
+    return f"select url, pos::bigint as pos from (values {vals}) t(url, pos) order by pos"
+
+
+def q_crawl_timed_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed politeness (crawl-delay clocks carried between rounds): one
+    host's 25 s delay exceeds the 10 s window, so it serves roughly every
+    3rd round — queue order must still match the sequential oracle."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.rounds import run_polite_crawl
+
+    corpus = generate_corpus(**_POLITE_CORPUS)
+    rows = [
+        {"url": r["url"], "html": bytes(r["html"]), "lang": r["lang"], "warc_ts": r["warc_ts"]}
+        for r in corpus.rows()
+    ]
+    pages = spark.createDataFrame(rows)
+    delays_df = spark.createDataFrame(
+        list(_timed_delay_map(corpus).items()), "host string, crawl_delay_ms long"
+    )
+    cfg = CrawlConfig(**_TIMED_CFG)
+    res = run_polite_crawl(
+        spark, pages, corpus.seeds, cfg, delays=delays_df, with_processor=False
+    )
+    return res.queue
+
+
+def _crawl_timed_politeness_sql() -> str:
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.oracle import crawl_oracle_polite
+
+    corpus = generate_corpus(**_POLITE_CORPUS)
+    golden = crawl_oracle_polite(
+        {u: h for u, (t, h, l) in corpus.pages.items()},
+        corpus.seeds,
+        CrawlConfig(**_TIMED_CFG),
+        delays=_timed_delay_map(corpus),
+    ).queue_order
+    vals = ", ".join(
+        "('{u}', {p})".format(u=u.replace("'", "''"), p=p)
+        for p, u in enumerate(golden)
+    )
+    return f"select url, pos::bigint as pos from (values {vals}) t(url, pos) order by pos"
+
+
+def q_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 catalog semantics (ElasticRestClient.java:62-188) as a metadata
+    table: composable template applied at CREATE, create-if-exists returning
+    False, ALTER-style settings merge, alias create/repoint/scoped-delete,
+    delete_index dropping its aliases, resolve() through aliases. The oracle
+    is a HAND-WRITTEN golden derived from the reference's documented ES
+    semantics — not a rerun of this code."""
+    import tempfile
+
+    from webcrawler_spark.catalog import IndexCatalog
+    from webcrawler_spark.storage import SnapshotStore
+
+    cat = IndexCatalog(SnapshotStore(tempfile.mkdtemp(prefix="catalog-q-")))
+    cat.create_template(
+        "t1", ["logs-*"], {"settings": {"n_buckets": 8}, "aliases": ["logs"]}
+    )
+    created1 = cat.create_index("logs-2025")           # template applies
+    created_dup = cat.create_index("logs-2025")        # exists -> False
+    cat.create_index("metrics-2025", {"settings": {"replicas": 2}})
+    cat.update_index("metrics-2025", {"replicas": 3, "shards": 4})
+    cat.create_alias("metrics-2025", "metrics")
+    cat.delete_alias("logs-2025", "metrics")           # scoped: no-op
+    cat.delete_index("logs-2025")                      # drops alias 'logs'
+    cat.create_index("logs-2026")                      # template re-applies
+    state = cat._load()
+    rows = [("created", "logs-2025", str(created1).lower()),
+            ("created_dup", "logs-2025", str(created_dup).lower())]
+    for name in sorted(state["indexes"]):
+        s = state["indexes"][name]["settings"]
+        rows.append(
+            ("index", name, ",".join(f"{k}={s[k]}" for k in sorted(s)))
+        )
+    for a in sorted(state["aliases"]):
+        rows.append(("alias", a, state["aliases"][a]))
+    for q in ("logs", "metrics", "logs-2026"):
+        rows.append(("resolve", q, cat.resolve(q)))
+    return spark.createDataFrame(rows, "kind string, name string, value string")
+
+
+# Hand-written golden (ES composable-template/alias semantics per
+# ElasticRestClient.java:62-188): logs-2025 created (template settings +
+# alias), duplicate create False, metrics settings merged by update, alias
+# 'logs' dropped with logs-2025 and re-created by logs-2026's CREATE.
+_CATALOG_LIFECYCLE_SQL = """
+select kind, name, value from (values
+  ('created', 'logs-2025', 'true'),
+  ('created_dup', 'logs-2025', 'false'),
+  ('index', 'logs-2026', 'n_buckets=8'),
+  ('index', 'metrics-2025', 'replicas=3,shards=4'),
+  ('alias', 'logs', 'logs-2026'),
+  ('alias', 'metrics', 'metrics-2025'),
+  ('resolve', 'logs', 'logs-2026'),
+  ('resolve', 'metrics', 'metrics-2025'),
+  ('resolve', 'logs-2026', 'logs-2026')
+) t(kind, name, value)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1338,6 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "crawl_queue_order": q_crawl_queue_order,
         "crawl_status_counts": q_crawl_status_counts,
+        "crawl_polite_capped": q_crawl_polite_capped,
+        "crawl_timed_politeness": q_crawl_timed_politeness,
+        "catalog_lifecycle": q_catalog_lifecycle,
     }
 
 
@@ -1387,4 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _frame_sample_sql(),
         "crawl_queue_order": _crawl_queue_order_sql(),
         "crawl_status_counts": _crawl_status_counts_sql(),
+        "crawl_polite_capped": _crawl_polite_capped_sql(),
+        "crawl_timed_politeness": _crawl_timed_politeness_sql(),
+        "catalog_lifecycle": _CATALOG_LIFECYCLE_SQL,
     }

@@ -558,3 +558,58 @@ def test_bloom_sidecar_persisted_and_loaded_on_resume(
     assert [r["url"] for r in res.queue.collect()] == q_full
     # only the per-round DELTA builds ran — no full-seen rebuild at resume
     assert len(calls) == res.rounds_run
+
+
+def test_max_concurrent_per_domain_matches_oracle(spark, tiny_pages_df, tiny_corpus):
+    """maxConcurrentPerDomain (README.md:55-57) as the ONLY per-host cap
+    (budget=None): at most 2 URLs per host per round, oracle-exact order."""
+    cfg = CrawlConfig(max_depth=2, per_host_budget=None, max_concurrent_per_domain=2)
+    oracle, result = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert result.rounds_run == oracle.rounds
+    assert oracle.rounds > 1  # the cap really deferred something
+
+
+def test_global_qps_matches_oracle(spark, tiny_pages_df, tiny_corpus):
+    """globalQps (README.md:55-57): the round's TOTAL admissions capped at
+    floor(qps·W/1000) in global discovery order; per-host budgets still hold
+    and queue order matches the sequential oracle."""
+    cfg = CrawlConfig(
+        max_depth=2, per_host_budget=3, global_qps=1,
+        politeness_window_ms=5_000,  # G = 5 per round
+    )
+    oracle, result = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
+    assert max(oracle.admitted_per_round) <= 5  # the global cap binds
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert result.rounds_run == oracle.rounds
+
+
+def test_timed_with_global_and_concurrency_caps(spark, tiny_pages_df, tiny_corpus):
+    """All three politeness mechanisms composed: crawl-delay clocks + the
+    global QPS budget + maxConcurrentPerDomain — the timed clock must advance
+    only by URLs actually served AFTER the global cut."""
+    from webcrawler_spark.oracle import crawl_oracle_polite
+    from webcrawler_spark.rounds import run_polite_crawl
+
+    cfg = CrawlConfig(
+        max_depth=2, per_host_budget=3, politeness_window_ms=10_000,
+        global_qps=1, max_concurrent_per_domain=2,  # G = 10, c = 2
+    )
+    hosts = sorted({u.split("/")[2] for u in tiny_corpus.pages})
+    delay_of = {h: [0, 2_000, 25_000, 4_000][i % 4] for i, h in enumerate(hosts)}
+    oracle = crawl_oracle_polite(
+        {u: h for u, (t, h, l) in tiny_corpus.pages.items()},
+        tiny_corpus.seeds, cfg, delays=delay_of, window_ms=10_000,
+    )
+    delays_df = spark.createDataFrame(
+        [(h, d) for h, d in delay_of.items()], "host string, crawl_delay_ms long"
+    )
+    result = run_polite_crawl(
+        spark, tiny_pages_df, tiny_corpus.seeds, cfg, delays=delays_df,
+        with_processor=False,
+    )
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert result.rounds_run == oracle.rounds

@@ -45,6 +45,17 @@ class CrawlConfig:
     # politenessDelayMs 2000 ≈ 5 fetches per 10 s window): round r spans
     # [r·W, (r+1)·W) ms and per-host next_allowed_ts carries between rounds
     politeness_window_ms: int = 10_000
+    # global politeness caps (reference README.md:55-57 "globalQps: 5",
+    # "maxConcurrentPerDomain: 2" — designed there, never implemented):
+    # globalQps caps the round's TOTAL admissions at floor(qps · W/1000),
+    # taken in global discovery order AFTER per-host admission (each host's
+    # final admitted set stays a prefix of its per-host order, so per-host
+    # politeness invariants survive the cut); maxConcurrentPerDomain caps a
+    # host's in-flight fetches per round-window at c — in the batch-round
+    # model where a fetch occupies its slot for the window, that is an
+    # additional per-host-per-round admission cap of c
+    global_qps: Optional[int] = None
+    max_concurrent_per_domain: Optional[int] = None
 
     def __post_init__(self) -> None:
         self._generic_rules: List[Rule] = build_rules(self.content_rules)
@@ -117,6 +128,8 @@ class CrawlConfig:
             per_host_budget=d.get("perHostBudget"),
             obey_robots=bool(d.get("obeyRobotsTxt", False)),
             politeness_window_ms=d.get("politenessWindowMs", 10_000),
+            global_qps=d.get("globalQps"),
+            max_concurrent_per_domain=d.get("maxConcurrentPerDomain"),
         )
 
     @classmethod

@@ -30,21 +30,58 @@ from pyspark.sql import functions as F
 DEFAULT_ORDER = ("priority", "warc_ts", "rank")
 
 
+def _min_cap(*caps: Optional[int]) -> Optional[int]:
+    """min over the non-None caps; None when every cap is None (= admit all)."""
+    vals = [c for c in caps if c is not None]
+    return min(vals) if vals else None
+
+
 def admit(
     frontier: DataFrame,
     per_host_budget: Optional[int],
     order_cols: Sequence[str] = DEFAULT_ORDER,
     host_col: str = "host_hash",
+    max_concurrent: Optional[int] = None,
 ) -> Tuple[DataFrame, DataFrame]:
-    """Returns (admitted, deferred). ``per_host_budget=None`` admits all."""
-    if per_host_budget is None:
+    """Returns (admitted, deferred). ``per_host_budget=None`` admits all.
+
+    ``max_concurrent`` is the maxConcurrentPerDomain cap (README.md:55-57):
+    in the batch-round model a fetch occupies its slot for the whole round
+    window, so at most ``max_concurrent`` URLs per host may be in flight per
+    round — an additional per-host admission cap, min'd with the budget."""
+    cap = _min_cap(per_host_budget, max_concurrent)
+    if cap is None:
         return frontier, frontier.limit(0)
     cols = [c for c in order_cols if c in frontier.columns]
     w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in cols])
     ranked = frontier.withColumn("_adm", F.row_number().over(w))
-    admitted = ranked.filter(F.col("_adm") <= per_host_budget).drop("_adm")
-    deferred = ranked.filter(F.col("_adm") > per_host_budget).drop("_adm")
+    admitted = ranked.filter(F.col("_adm") <= cap).drop("_adm")
+    deferred = ranked.filter(F.col("_adm") > cap).drop("_adm")
     return admitted, deferred
+
+
+def global_cap_admit(
+    admitted: DataFrame,
+    deferred: DataFrame,
+    global_cap: Optional[int],
+    order_cols: Sequence[str] = ("grank",),
+    key: str = "url",
+) -> Tuple[DataFrame, DataFrame]:
+    """Apply the round's GLOBAL admission budget (globalQps × window — README
+    .md:55-57) on top of per-host admission: keep the first ``global_cap``
+    admitted rows in global discovery order, defer the overflow.
+
+    Because per-host admission picks each host's first-k by the same order,
+    a global-order cut keeps a PREFIX of every host's admitted list — the
+    per-host politeness ordering contract survives. The cut itself is a
+    TakeOrderedAndProject (per-partition top-G then merge): global_cap is
+    small by construction (qps × seconds), so no global sort materializes."""
+    if global_cap is None:
+        return admitted, deferred
+    cols = [F.col(c) for c in order_cols if c in admitted.columns]
+    take = admitted.orderBy(*cols).limit(global_cap)
+    overflow = admitted.join(take.select(key), key, "left_anti")
+    return take, deferred.unionByName(overflow)
 
 
 def salted_admit(
@@ -95,6 +132,8 @@ def timed_admit(
     rnd: int,
     order_cols: Sequence[str] = ("grank",),
     host_col: str = "host",
+    max_concurrent: Optional[int] = None,
+    global_cap: Optional[int] = None,
 ) -> Tuple[DataFrame, DataFrame, DataFrame]:
     r"""Per-host admission with REAL inter-round politeness timing
     (README.md:55-57: politenessDelayMs 2000 ≈ 5 fetches per 10 s window).
@@ -116,6 +155,11 @@ def timed_admit(
     ``host_state``: (host, next_allowed_ts) — one row per host EVER served
     (missing host ⇒ 0). Returns (admitted, deferred, new_host_state); the
     caller owns materializing new_host_state between rounds.
+
+    ``max_concurrent`` (maxConcurrentPerDomain) min's into the per-host k;
+    ``global_cap`` (globalQps × window) cuts the FINAL admitted set to the
+    first ``global_cap`` rows in global order — applied INSIDE this op so the
+    per-host clock advance counts only URLs actually served after the cut.
     """
     cols = [c for c in order_cols if c in frontier.columns]
     d = F.broadcast(
@@ -139,10 +183,20 @@ def timed_admit(
     k = F.greatest(F.lit(0).cast("long"), k.cast("long"))
     if per_host_budget is not None:
         k = F.least(k, budget_lit.cast("long"))
+    if max_concurrent is not None:
+        k = F.least(k, F.lit(max_concurrent).cast("long"))
     w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in cols])
     ranked = fr.withColumn("_adm", F.row_number().over(w)).withColumn("_k", k)
     admitted = ranked.filter(F.col("_adm") <= F.col("_k"))
     deferred = ranked.filter(F.col("_adm") > F.col("_k"))
+    if global_cap is not None:
+        # keep the first global_cap by global order; overflow defers. A host's
+        # final admitted set stays a prefix of its per-host order, and the
+        # clock math below sees only what was actually served.
+        take = admitted.orderBy(*[F.col(c) for c in cols]).limit(global_cap)
+        overflow = admitted.join(take.select("url"), "url", "left_anti")
+        admitted = take
+        deferred = deferred.unionByName(overflow)
     # clock update: hosts serving c URLs advance to t0 + c·delay; untouched
     # hosts keep their old clock (anti-join + union keeps one row per host)
     served = admitted.groupBy(F.col(host_col).alias("host")).agg(

@@ -290,7 +290,9 @@ def crawl_oracle_polite(
     max_rounds: int = 10_000,
     meta: Optional[Dict[str, Tuple[int, int]]] = None,
     delays: Optional[Dict[str, int]] = None,
-    window_ms: int = 10_000,
+    window_ms: Optional[int] = None,
+    global_qps: Optional[int] = None,
+    max_concurrent: Optional[int] = None,
 ) -> PoliteOracleResult:
     """The reference BFS extended with the *designed* politeness + robots
     semantics (README.md:55-57,145-147 — declared, never implemented there;
@@ -312,6 +314,15 @@ def crawl_oracle_polite(
       end counts) and its clock advances to t0 + served·delay — the
       inter-round politeness window state (README.md:55-57) mirrored by
       admission.timed_admit.
+    - ``max_concurrent`` (maxConcurrentPerDomain, README.md:55-57): an extra
+      per-host-per-round cap min'd into k — a fetch occupies its slot for the
+      round window, so at most that many per host are in flight per round.
+    - ``global_qps`` (globalQps): the round admits at most
+      floor(global_qps · window_ms / 1000) URLs TOTAL, keeping the first G of
+      the per-host-admitted set in global discovery order; overflow defers
+      (each host's final admitted set stays a prefix of its per-host order),
+      and timed clocks advance only by URLs actually served after the cut —
+      mirrored by admission.timed_admit(global_cap)/global_cap_admit.
     """
     res = PoliteOracleResult()
     queue = LinkQueueOracle()
@@ -329,6 +340,12 @@ def crawl_oracle_polite(
 
     max_depth = max(0, config.max_depth)
     budget = config.per_host_budget
+    if window_ms is None:
+        window_ms = config.politeness_window_ms
+    if global_qps is None:
+        global_qps = config.global_qps
+    if max_concurrent is None:
+        max_concurrent = config.max_concurrent_per_domain
     includes = compile_patterns(config.include_url_patterns)
     excludes = compile_patterns(config.exclude_url_patterns)
 
@@ -337,12 +354,14 @@ def crawl_oracle_polite(
         res.visited.add(u)
         queue.enqueue(u)
 
+    global_cap = (
+        int(global_qps * window_ms / 1000) if global_qps is not None else None
+    )
     next_allowed: Dict[str, int] = {}
     while pending and res.rounds < max_rounds:
         r = res.rounds
         res.rounds += 1
         admitted: List[Tuple[str, int]] = []
-        deferred: deque = deque()
         host_counts: Dict[str, int] = {}
         host_k: Dict[str, float] = {}
         host_t0: Dict[str, int] = {}
@@ -362,19 +381,30 @@ def crawl_oracle_polite(
                     k = float("inf")
                 if budget is not None:
                     k = min(k, budget)
+                if max_concurrent is not None:
+                    k = min(k, max_concurrent)
                 host_k[h] = k
             c = host_counts.get(h, 0)
             if c < host_k[h]:
                 host_counts[h] = c + 1
                 admitted.append((u, d))
-            else:
-                deferred.append((u, d))
+        if global_cap is not None:
+            # global budget: keep the first G in discovery order, defer the
+            # rest (a prefix cut per host — per-host ordering preserved)
+            admitted = admitted[:global_cap]
+        adm_set = {u for u, _ in admitted}
+        # deferred = pending minus final admitted, in original discovery order
+        # (urls are unique in pending: the visited gate pushes each once)
+        pending = deque(p for p in pending if p[0] not in adm_set)
         if delays:
-            for h, c in host_counts.items():
+            final_counts: Dict[str, int] = {}
+            for u, _ in admitted:
+                h = domain_of(u) or ""
+                final_counts[h] = final_counts.get(h, 0) + 1
+            for h, c in final_counts.items():
                 delay = delays.get(h, 0)
                 if c > 0 and delay > 0:
                     next_allowed[h] = host_t0[h] + c * delay
-        pending = deferred
         res.admitted_per_round.append(len(admitted))
 
         for u, d in admitted:

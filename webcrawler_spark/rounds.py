@@ -1127,10 +1127,25 @@ def run_polite_crawl(
     exclusive with ``salt_threshold`` (salting reorders within hosts, which
     would make timed budgets rank-unstable).
     """
-    from .operators.admission import admit, apply_robots, salted_admit, timed_admit
+    from .operators.admission import (
+        admit,
+        apply_robots,
+        global_cap_admit,
+        salted_admit,
+        timed_admit,
+    )
 
     if delays is not None and salt_threshold is not None:
         raise ValueError("timed politeness and salted admission are exclusive")
+
+    # global politeness caps (README.md:55-57): globalQps → per-round global
+    # admission budget; maxConcurrentPerDomain → extra per-host-per-round cap
+    max_conc = config.max_concurrent_per_domain
+    global_cap = (
+        int(config.global_qps * config.politeness_window_ms / 1000)
+        if config.global_qps is not None
+        else None
+    )
 
     traverse, n_seeds = _seed_frontier(spark, entry_url, ("grank", "depth"))
     if traverse is None:
@@ -1177,20 +1192,35 @@ def run_polite_crawl(
                 tr, budget, delays, host_state,
                 window_ms=config.politeness_window_ms, rnd=rnd,
                 order_cols=("grank",), host_col="host",
+                max_concurrent=max_conc, global_cap=global_cap,
             )
             # tiny table (one row per host ever served); eager so the round's
             # clock advance is pinned before the frontier mutates
             host_state = new_state.localCheckpoint(eager=True)
         elif salt_threshold is not None:
+            from .operators.admission import _min_cap
+
+            # max_concurrent is just another per-host cap: min it into the
+            # budget BEFORE the per-salt split (per-salt enforcement of a
+            # cross-salt host cap would defeat the salting)
             admitted, deferred = salted_admit(
-                tr.withColumn("rank", F.col("grank")), budget,
+                tr.withColumn("rank", F.col("grank")), _min_cap(budget, max_conc),
                 order_cols=("grank",), host_col="host",
                 salt_threshold=salt_threshold, n_salts=n_salts,
             )
             admitted = admitted.drop("rank")
             deferred = deferred.drop("rank")
+            admitted, deferred = global_cap_admit(
+                admitted, deferred, global_cap, order_cols=("grank",)
+            )
         else:
-            admitted, deferred = admit(tr, budget, order_cols=("grank",), host_col="host")
+            admitted, deferred = admit(
+                tr, budget, order_cols=("grank",), host_col="host",
+                max_concurrent=max_conc,
+            )
+            admitted, deferred = global_cap_admit(
+                admitted, deferred, global_cap, order_cols=("grank",)
+            )
         if robots is not None:
             allowed, _blocked = apply_robots(admitted, robots)
         else:
