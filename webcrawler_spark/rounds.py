@@ -48,6 +48,7 @@ idempotent by construction.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set, Tuple
@@ -291,6 +292,36 @@ def _offset_map_expr(
     return F.element_at(F.create_map(*kv), F.col(bucket_col)), acc
 
 
+class _AsyncDF:
+    """Run a DataFrame-producing callable (an eager checkpoint, typically) on
+    a background thread so its Spark job overlaps with the caller's next
+    foreground job — Spark schedulers accept concurrent job submission from
+    multiple driver threads. ``result()`` joins and re-raises any error."""
+
+    def __init__(self, fn) -> None:
+        self._out: Optional[DataFrame] = None
+        self._err: Optional[BaseException] = None
+        self._t = threading.Thread(target=self._run, args=(fn,), daemon=True)
+        self._t.start()
+
+    def _run(self, fn) -> None:
+        try:
+            self._out = fn()
+        except BaseException as e:  # surfaced at result()
+            self._err = e
+
+    def result(self) -> DataFrame:
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+        return self._out
+
+
+def _resolve_df(df):
+    """DataFrame-or-_AsyncDF -> DataFrame (join the background checkpoint)."""
+    return df.result() if isinstance(df, _AsyncDF) else df
+
+
 def _running(flag_zero_col: str, w: Window) -> Column:
     """Running count (1-based) of rows whose ``flag_zero_col`` == 0, under a
     rows-unbounded-preceding window. Unlike row_number over a filtered view,
@@ -532,6 +563,9 @@ def run_crawl(
         # seen flag — a LEFT join (not anti) so dup rows ride into the stats
         first = first_occurrence(accepted, "url", ["parent_rank", "link_pos"])
         round_caches: List[DataFrame] = []
+        # join the previous round's background sidecar checkpoint here — it
+        # has been overlapping with this round's parse job up to this point
+        sidecar = _resolve_df(sidecar) if sidecar is not None else None
         flagged = flag_seen(first, seen, sidecar=sidecar, cache_registry=round_caches)
         if with_processor:
             flagged = flagged.withColumn("_vis", F.col("_dup"))
@@ -549,12 +583,50 @@ def run_crawl(
                 "_part",
                 F.pmod(F.col("host_hash"), F.lit(N_LINEAGE_PARTS)).cast("int"),
             )
-            .persist()
         )
 
-        # ---- job 1: evaluate the chain once; all round stats in one collect
+        # ---- job 1 (the round's ONE heavy non-parse job): evaluate the
+        # harvest chain once, with bucket-LOCAL running sums, straight into
+        # the pinned round table. Global pos/rank offsets are not known yet —
+        # they need the per-bucket counts — so the table stores local ranks
+        # and ALL rows (dup rows included, for the stats job); the global
+        # offsets fold in lazily as a projection over the pinned table.
+        # Replaces the old persist(b) + groupingSets-over-the-live-chain +
+        # second write pass: no cache pressure, and the stats job below reads
+        # a column-pruned slim parquet instead of re-aggregating the chain.
+        _tm = time.monotonic()
+        w = Window.partitionBy("_bkt").orderBy("parent_rank", "link_pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        round_local = b.select(
+            "url",
+            "host_hash",
+            "_bkt",
+            "_part",
+            "_dup",
+            "_vis",
+            _running("_dup", w).alias("_lpos"),
+            _running("_vis", w).alias("_lrank"),
+        )
+        if store is not None:
+            store.write_table(round_local, "round", depth)
+            round_local = store.read_table(spark, "round", depth)
+        else:
+            round_local = round_local.localCheckpoint(eager=True)
+        # the round table is pinned; nothing re-reads the bloom prefilter
+        # cache after this point — release it or a deep crawl accumulates
+        # one cached relation per round
+        for c in round_caches:
+            c.unpersist()
+        res.timings.append(
+            {"phase": f"r{depth}_mat", "ms": int((time.monotonic() - _tm) * 1000)}
+        )
+        _ts = time.monotonic()
+
+        # ---- job 2 (tiny): all round stats in one collect over the pinned
+        # slim table (a few int columns, parquet-pruned — no url strings)
         stats = (
-            b.groupingSets([["_bkt"], ["_part"]], "_bkt", "_part")
+            round_local.groupingSets([["_bkt"], ["_part"]], "_bkt", "_part")
             .agg(
                 F.sum(1 - F.col("_dup")).alias("n_new"),
                 F.sum("_dup").alias("n_dup"),
@@ -572,51 +644,32 @@ def run_crawl(
         n_dup = sum(r["n_dup"] for r in bkt_rows)
         n_trav = sum(r["n_trav"] for r in bkt_rows)
         res.timings.append(
-            {"phase": f"r{depth}_stats", "ms": int((time.monotonic() - t0) * 1000)}
+            {"phase": f"r{depth}_stats", "ms": int((time.monotonic() - _ts) * 1000)}
         )
-        _tm = time.monotonic()
 
-        # ---- job 2: assign pos/rank via bucket running sums, materialize
+        # global pos/rank = local running sum + driver prefix-sum offset,
+        # a pure projection over the pinned table (no further job)
         pos_off, _ = _offset_map_expr(
             "_bkt", {r["_bkt"]: r["n_new"] for r in bkt_rows}, queue_size
         )
         trav_off, _ = _offset_map_expr(
             "_bkt", {r["_bkt"]: r["n_trav"] for r in bkt_rows}, 0
         )
-        w = Window.partitionBy("_bkt").orderBy("parent_rank", "link_pos").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
         round_tbl = (
-            b.filter((F.col("_dup") == 0) | (F.col("_vis") == 0))
+            round_local.filter((F.col("_dup") == 0) | (F.col("_vis") == 0))
             .withColumn(
                 "pos",
                 F.when(
-                    F.col("_dup") == 0,
-                    (_running("_dup", w) - 1 + pos_off).cast("long"),
+                    F.col("_dup") == 0, (F.col("_lpos") - 1 + pos_off).cast("long")
                 ),
             )
             .withColumn(
                 "rank",
                 F.when(
-                    F.col("_vis") == 0,
-                    (_running("_vis", w) - 1 + trav_off).cast("long"),
+                    F.col("_vis") == 0, (F.col("_lrank") - 1 + trav_off).cast("long")
                 ),
             )
             .select("url", "host_hash", "pos", "rank")
-        )
-        if store is not None:
-            store.write_table(round_tbl, "round", depth)
-            round_tbl = store.read_table(spark, "round", depth)
-        else:
-            round_tbl = round_tbl.localCheckpoint(eager=True)
-        b.unpersist()
-        # the round table is pinned; nothing re-reads the bloom prefilter
-        # cache after this point — release it or a deep crawl accumulates
-        # one cached relation per round
-        for c in round_caches:
-            c.unpersist()
-        res.timings.append(
-            {"phase": f"r{depth}_mat", "ms": int((time.monotonic() - _tm) * 1000)}
         )
 
         new_seen = round_tbl.filter(F.col("pos").isNotNull()).select(
@@ -625,9 +678,11 @@ def run_crawl(
         seen = seen.unionByName(new_seen)
         queue_size += n_new
         if use_bloom:
-            sidecar = bloom_sidecar_merge(
-                sidecar, bloom_sidecar_build(new_seen)
-            ).localCheckpoint(eager=True)
+            # the delta build + merge checkpoint runs on a BACKGROUND thread:
+            # the next round resolves it right before flag_seen, so it
+            # overlaps with the next round's parse job (_AsyncDF)
+            merged = bloom_sidecar_merge(sidecar, bloom_sidecar_build(new_seen))
+            sidecar = _AsyncDF(lambda m=merged: m.localCheckpoint(eager=True))
 
         if depth < max_depth:
             tcols = ["url", "rank", "pos"] if with_processor else ["url", "rank"]
@@ -685,7 +740,7 @@ def run_crawl(
             if use_bloom and sidecar is not None:
                 # persist the sidecar so resume loads ~n_buckets bloom rows
                 # instead of rebuilding from the full seen table
-                store.write_table(sidecar, "bloom_sidecar", stopped_at)
+                store.write_table(_resolve_df(sidecar), "bloom_sidecar", stopped_at)
                 m.tables["bloom_sidecar"] = stopped_at
             m.committed_round = stopped_at - 1
             m.tables["url_seen"] = stopped_at
