@@ -22,6 +22,7 @@ dependencies beyond the stdlib.
 
 from __future__ import annotations
 
+from html import unescape
 from html.parser import HTMLParser
 from typing import Iterator, List, Optional, Tuple
 from urllib.parse import urljoin
@@ -80,6 +81,17 @@ class DataNode:
     def __init__(self, text: str, parent: Optional["Element"] = None) -> None:
         self.text = text
         self.parent = parent
+
+
+class CDataNode(TextNode):
+    """``<![CDATA[...]]>`` section. Jsoup tokenizes CDATA in ANY context (its
+    MarkupDeclarationOpen state does not check for foreign content) into a
+    CDataNode that extends TextNode, and Element#appendNormalisedText appends
+    CDataNode content verbatim — whitespace preserved, markup not unescaped —
+    so CDATA contributes literally to ``Element.text()`` (public Jsoup 1.18
+    behavior, pinned by Jsoup's own ``handlesCdata`` parser test)."""
+
+    __slots__ = ()
 
 
 class Element:
@@ -162,7 +174,9 @@ class Element:
             accum.append(" ")
         for child in self.children:
             if isinstance(child, TextNode):
-                if child.parent is not None and child.parent._preserve_ws():
+                if isinstance(child, CDataNode) or (
+                    child.parent is not None and child.parent._preserve_ws()
+                ):
                     accum.append(child.text)
                 else:
                     _append_normalised_ws(accum, child.text, _ends_ws(accum))
@@ -227,11 +241,20 @@ MAX_NESTING_DEPTH = 256
 
 
 class _TreeBuilder(HTMLParser):
+    # script/style are raw text (DataNode, excluded from text()); title and
+    # textarea are RCDATA per the HTML5 tokenizer (and Jsoup): markup inside
+    # is literal text, only character references decode. Listing them here
+    # makes html.parser scan to the matching end tag instead of tokenizing
+    # their contents — handle_data then decodes entities for the RCDATA pair.
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea")
+    _RCDATA_TAGS = frozenset({"title", "textarea"})
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Element("#root")
         self.stack: List[Element] = [self.root]
         self._in_data_tag: Optional[str] = None
+        self._in_rcdata: Optional[str] = None
 
     # Minimal implied-end-tag handling for the tags our corpus and the
     # reference fixtures use. Full HTML5 tree construction is out of scope;
@@ -247,14 +270,26 @@ class _TreeBuilder(HTMLParser):
         "option": {"option"},
     }
 
+    @staticmethod
+    def _attr_dict(attrs) -> dict:
+        # HTML5 tree construction (and Jsoup) keep the FIRST occurrence of a
+        # duplicated attribute; dict(attrs) would keep the last.
+        d: dict = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v
+        return d
+
     def handle_starttag(self, tag, attrs):
         closers = self._AUTO_CLOSE.get(tag)
         if closers and self.stack[-1].tag in closers:
             self.stack.pop()
-        el = Element(tag, dict(attrs))
+        el = Element(tag, self._attr_dict(attrs))
         self.stack[-1].append(el)
         if tag in _DATA_TAGS:
             self._in_data_tag = tag
+        elif tag in self._RCDATA_TAGS:
+            self._in_rcdata = tag
         if tag not in _VOID_TAGS and tag not in _DATA_TAGS:
             if len(self.stack) > MAX_NESTING_DEPTH:
                 raise ParseError(
@@ -263,13 +298,15 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
-        el = Element(tag, dict(attrs))
+        el = Element(tag, self._attr_dict(attrs))
         self.stack[-1].append(el)
 
     def handle_endtag(self, tag):
         if tag in _DATA_TAGS:
             self._in_data_tag = None
             return
+        if tag in self._RCDATA_TAGS:
+            self._in_rcdata = None
         if tag in _VOID_TAGS:
             return
         # pop until matching open tag (tolerate mismatches)
@@ -277,6 +314,26 @@ class _TreeBuilder(HTMLParser):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
                 return
+        if tag == "p":
+            # HTML5 "in body" </p> with no open <p>: insert an empty <p> and
+            # close it (so the block still separates surrounding text runs)
+            self.stack[-1].append(Element("p"))
+
+    def close(self):
+        # html.parser silently drops the buffered tail of an unterminated
+        # script/style/title/textarea at EOF; the HTML5 tokenizer emits it as
+        # the element's character data (a broken <title> swallows the rest of
+        # the page as its text — what browsers show in the tab)
+        if self.cdata_elem is not None and self.rawdata:
+            tail, self.rawdata = self.rawdata, ""
+            self.handle_data(tail)
+        super().close()
+
+    def unknown_decl(self, data):
+        # html.parser surfaces <![CDATA[x]]> as unknown_decl("CDATA[x");
+        # Jsoup tokenizes it (any context) into a text-carrying CDataNode
+        if data.startswith("CDATA["):
+            self.stack[-1].append(CDataNode(data[6:]))
 
     def handle_data(self, data):
         if not data:
@@ -287,6 +344,11 @@ class _TreeBuilder(HTMLParser):
             kids = top.children
             if kids and isinstance(kids[-1], Element) and kids[-1].tag == self._in_data_tag:
                 kids[-1].append(DataNode(data))
+            return
+        if self._in_rcdata is not None:
+            # RCDATA reaches here raw (html.parser skips charref conversion
+            # in cdata mode); decode character references, keep markup literal
+            top.append(TextNode(unescape(data)))
             return
         top.append(TextNode(data))
 
@@ -324,7 +386,12 @@ class Document(Element):
 def parse(html: str) -> Document:
     """Parse an HTML string into a Document (lenient, document-order)."""
     builder = _TreeBuilder()
-    builder.feed(html or "")
+    html = html or ""
+    if "\x00" in html:
+        # HTML5 tokenizer: U+0000 is a parse error emitted as U+FFFD (Jsoup's
+        # CharacterReader does the same replacement)
+        html = html.replace("\x00", "�")
+    builder.feed(html)
     builder.close()
     return Document(builder.root)
 
