@@ -1324,6 +1324,9 @@ def run_polite_crawl(
             F.col("_oe.child_depth").alias("e_child_depth"),
         )
         round_caches: List[DataFrame] = []
+        # join the previous round's background sidecar checkpoint here — it
+        # has been overlapping with this round's parse job up to this point
+        sidecar = _resolve_df(sidecar) if sidecar is not None else None
         flagged = flag_seen(first, seen, sidecar=sidecar, cache_registry=round_caches)
         vm = visited.select("url").withColumn("_v", F.lit(1))
         flagged = (
@@ -1347,12 +1350,68 @@ def run_polite_crawl(
                 "_part",
                 F.pmod(F.col("host_hash"), F.lit(N_LINEAGE_PARTS)).cast("int"),
             )
-            .persist()
         )
 
-        # job 1: single evaluation + all stats (gid: {_bkt}=3, {_bkte}=5, {_part}=6)
+        # ---- job 1 (the round's ONE heavy non-parse job): evaluate the
+        # harvest chain once, with bucket-LOCAL running sums, straight into
+        # the pinned round table. Deferred frontier rows ride along (they
+        # must be pinned too — they seed the next round's admission and would
+        # otherwise recompute the whole admission lineage every round) with
+        # null stat flags. Replaces the old persist(b) + groupingSets over
+        # the live chain + second write pass + count() — two driver barriers
+        # per round instead of four.
+        _tm = time.monotonic()
+        w_o = Window.partitionBy("_bkt").orderBy("parent_rank", "link_pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_e = Window.partitionBy("_bkte").orderBy(
+            "e_parent_rank", "e_link_pos"
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        b_local = b.select(
+            "url",
+            "host_hash",
+            "_bkt",
+            "_bkte",
+            "_part",
+            "_dup",
+            "_ntrav",
+            F.col("child_depth").cast("int").alias("first_depth"),
+            F.col("e_child_depth").cast("int").alias("depth"),
+            F.lit(None).cast("long").alias("_dgrank"),
+            _running("_dup", w_o).alias("_lpos"),
+            _running("_ntrav", w_e).alias("_lgrank"),
+        )
+        deferred_local = deferred.select(
+            "url",
+            F.lit(None).cast("long").alias("host_hash"),
+            F.lit(None).cast("int").alias("_bkt"),
+            F.lit(None).cast("int").alias("_bkte"),
+            F.lit(None).cast("int").alias("_part"),
+            F.lit(None).cast("int").alias("_dup"),
+            F.lit(None).cast("int").alias("_ntrav"),
+            F.lit(None).cast("int").alias("first_depth"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("grank").cast("long").alias("_dgrank"),
+            F.lit(None).cast("long").alias("_lpos"),
+            F.lit(None).cast("long").alias("_lgrank"),
+        )
+        round_local = b_local.unionByName(deferred_local)
+        if store is not None:
+            store.write_table(round_local, "round", rnd)
+            round_local = store.read_table(spark, "round", rnd)
+        else:
+            round_local = round_local.localCheckpoint(eager=True)
+        for c in round_caches:  # release the round's bloom prefilter cache
+            c.unpersist()
+
+        # ---- job 2 (tiny): all round stats in one collect over the pinned
+        # slim table (gid: {_bkt}=3, {_bkte}=5, {_part}=6, grand total=7 —
+        # the grand total also counts the deferred rows, so loop termination
+        # no longer needs its own count() action)
         stats = (
-            b.groupingSets([["_bkt"], ["_bkte"], ["_part"]], "_bkt", "_bkte", "_part")
+            round_local.groupingSets(
+                [["_bkt"], ["_bkte"], ["_part"], []], "_bkt", "_bkte", "_part"
+            )
             .agg(
                 F.sum(1 - F.col("_dup")).alias("n_new"),
                 F.sum("_dup").alias("n_dup"),
@@ -1360,73 +1419,49 @@ def run_polite_crawl(
                 F.count_distinct(
                     F.when(F.col("_dup") == 0, F.col("host_hash"))
                 ).alias("hosts"),
+                F.count(F.when(F.col("_dup").isNull(), 1)).alias("n_def"),
                 F.grouping_id().alias("_gid"),
             )
             .collect()
         )
-        bkt_rows = [r for r in stats if r["_gid"] == 3]
+        bkt_rows = [r for r in stats if r["_gid"] == 3 and r["_bkt"] is not None]
         bkte_rows = [r for r in stats if r["_gid"] == 5 and r["_bkte"] is not None]
         part_rows = [r for r in stats if r["_gid"] == 6 and r["n_new"]]
         n_new = sum(r["n_new"] for r in bkt_rows)
         n_dup = sum(r["n_dup"] for r in bkt_rows)
         n_trav = sum(r["n_trav"] for r in bkte_rows)
+        n_def = next((r["n_def"] for r in stats if r["_gid"] == 7), 0)
 
-        # job 2: pos (global first) + grank (eligible first) + deferred rows,
-        # one materialization
+        # global pos/grank = local running sum + driver prefix-sum offset, a
+        # pure projection over the pinned table (no further job); deferred
+        # rows keep their existing grank
         pos_off, _ = _offset_map_expr(
             "_bkt", {r["_bkt"]: r["n_new"] for r in bkt_rows}, queue_size
         )
         grank_off, _ = _offset_map_expr(
             "_bkte", {r["_bkte"]: r["n_trav"] for r in bkte_rows}, discovered
         )
-        w_o = Window.partitionBy("_bkt").orderBy("parent_rank", "link_pos").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        w_e = Window.partitionBy("_bkte").orderBy(
-            "e_parent_rank", "e_link_pos"
-        ).rowsBetween(Window.unboundedPreceding, 0)
-        slice_df = (
-            b.filter((F.col("_dup") == 0) | (F.col("_ntrav") == 0))
+        round_tbl = (
+            round_local.filter(
+                (F.col("_dup") == 0)
+                | (F.col("_ntrav") == 0)
+                | F.col("_dup").isNull()
+            )
             .withColumn(
                 "pos",
                 F.when(
-                    F.col("_dup") == 0,
-                    (_running("_dup", w_o) - 1 + pos_off).cast("long"),
+                    F.col("_dup") == 0, (F.col("_lpos") - 1 + pos_off).cast("long")
                 ),
             )
             .withColumn(
                 "grank",
                 F.when(
                     F.col("_ntrav") == 0,
-                    (_running("_ntrav", w_e) - 1 + grank_off).cast("long"),
-                ),
+                    (F.col("_lgrank") - 1 + grank_off).cast("long"),
+                ).otherwise(F.col("_dgrank")),
             )
-            .select(
-                "url",
-                "host_hash",
-                "pos",
-                "grank",
-                F.col("child_depth").cast("int").alias("first_depth"),
-                F.col("e_child_depth").cast("int").alias("depth"),
-            )
+            .select("url", "host_hash", "pos", "grank", "first_depth", "depth")
         )
-        deferred_shaped = deferred.select(
-            "url",
-            F.lit(None).cast("long").alias("host_hash"),
-            F.lit(None).cast("long").alias("pos"),
-            F.col("grank"),
-            F.lit(None).cast("int").alias("first_depth"),
-            F.col("depth").cast("int").alias("depth"),
-        )
-        round_tbl = slice_df.unionByName(deferred_shaped)
-        if store is not None:
-            store.write_table(round_tbl, "round", rnd)
-            round_tbl = store.read_table(spark, "round", rnd)
-        else:
-            round_tbl = round_tbl.localCheckpoint(eager=True)
-        b.unpersist()
-        for c in round_caches:  # release the round's bloom prefilter cache
-            c.unpersist()
 
         new_seen = round_tbl.filter(F.col("pos").isNotNull()).select(
             "url", "pos", "host_hash", "first_depth"
@@ -1434,9 +1469,10 @@ def run_polite_crawl(
         seen = seen.unionByName(new_seen)
         queue_size += n_new
         if use_bloom:
-            sidecar = bloom_sidecar_merge(
-                sidecar, bloom_sidecar_build(new_seen)
-            ).localCheckpoint(eager=True)
+            # delta build + merge checkpoint on a BACKGROUND thread; the next
+            # round joins it right before flag_seen (overlaps the parse job)
+            merged = bloom_sidecar_merge(sidecar, bloom_sidecar_build(new_seen))
+            sidecar = _AsyncDF(lambda m=merged: m.localCheckpoint(eager=True))
 
         traverse_next = round_tbl.filter(F.col("grank").isNotNull()).select(
             "url", "grank", "depth"
@@ -1446,9 +1482,9 @@ def run_polite_crawl(
         )
         visited = visited.unionByName(new_children.select("url"))
         discovered += n_trav
-        # one count over the materialized table: deferred + new children;
-        # drives both loop termination and the next broadcast decision
-        n_next_total = traverse_next.count()
+        # deferred + new children, straight from the stats collect: drives
+        # both loop termination and the next broadcast decision
+        n_next_total = n_trav + n_def
         frontier_rows = n_next_total
 
         wall_ms = int((time.monotonic() - t0) * 1000)
