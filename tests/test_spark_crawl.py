@@ -106,6 +106,42 @@ def test_docs_match_oracle(spark, pages_df, small_corpus):
             assert list(g["out_links"] or []) == d["out_links"], d["url"]
 
 
+def test_fused_docs_rules_less_matches_oracle(spark, pages_df, small_corpus):
+    """Rules-less crawls take the fused single-pass docs plan (_fused_docs:
+    one left join, fetch-missing rows riding the kernel as null-html rows,
+    one conditional projection, no tail pin). Every docs column must still
+    match the sequential oracle — including ERROR_FETCH rows (null
+    http_status/content_type), ERROR_PARSE rows (crawl_depth=maxDepth quirk)
+    and OK rows whose contents are empty by reference semantics."""
+    cfg = CrawlConfig(max_depth=2)  # no content rules anywhere -> fused
+    oracle = crawl_oracle(
+        _corpus_dict(small_corpus), small_corpus.seeds, cfg,
+        with_processor=True, meta=small_corpus.meta,
+    )
+    result = run_crawl(spark, pages_df, small_corpus.seeds, cfg, with_processor=True)
+    got = {r["url"]: r.asDict() for r in result.docs.collect()}
+    assert set(got) == {d["url"] for d in oracle.docs}
+    exp_statuses = {d["status"] for d in oracle.docs}
+    assert {"OK", "ERROR_FETCH", "ERROR_PARSE"} <= exp_statuses
+    assert "DUPLICATE" not in exp_statuses  # no rules -> dup pass statically empty
+    for d in oracle.docs:
+        g = got[d["url"]]
+        for col in (
+            "id", "domain", "status", "title", "content_length", "hash",
+            "http_status", "fetch_duration_ms", "crawl_depth",
+        ):
+            assert g[col] == d[col], f"{col} mismatch for {d['url']}: {g[col]!r} != {d[col]!r}"
+        # reference content_type semantics: set whenever a response was
+        # received (OK + ERROR_PARSE), null when the fetch itself failed
+        exp_ct = None if d["status"] == "ERROR_FETCH" else "text/html"
+        assert g["content_type"] == exp_ct, d["url"]
+        if d["status"] == "OK":
+            assert list(g["contents"] or []) == d["contents"], d["url"]
+            assert list(g["out_links"] or []) == d["out_links"], d["url"]
+        else:
+            assert g["contents"] is None and g["out_links"] is None, d["url"]
+
+
 def test_status_surface_matches_oracle(spark, pages_df, small_corpus):
     """The planted corpus exercises every CrawlStatus: malformed markup ->
     ERROR_PARSE (with the crawl_depth=maxDepth quirk, WebPageProcessor.java:224),

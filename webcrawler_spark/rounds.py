@@ -56,6 +56,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -844,6 +845,162 @@ def _docs_schema() -> StructType:
     )
 
 
+def _robots_docs(skipped_robots: DataFrame, ts) -> DataFrame:
+    """SKIPPED_ROBOTS rows (CrawlStatus.java:10-11): never fetched or parsed,
+    so every content field is the ERROR_FETCH shape with its own status."""
+    return skipped_robots.select(
+        F.lit(None).cast("string").alias("id"),
+        F.col("url"),
+        parse_host(F.col("url")).alias("domain"),
+        ts.alias("crawl_ts"),
+        F.lit("SKIPPED_ROBOTS").alias("status"),
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit(0).cast("long").alias("fetch_duration_ms"),
+        F.lit(None).cast("int").alias("crawl_depth"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("array<string>").alias("contents"),
+        F.lit(0).cast("long").alias("content_length"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("array<string>").alias("out_links"),
+        content_hash_segments(
+            F.col("url"), F.lit(None).cast("array<string>")
+        ).alias("hash"),
+        F.col("pos"),
+    )
+
+
+def _fused_docs(
+    spark: SparkSession,
+    q: DataFrame,
+    pages: DataFrame,
+    config: CrawlConfig,
+    ts,
+    queue_rows: Optional[int],
+    raw_docs: Optional[DataFrame],
+) -> DataFrame:
+    """Single-pass docs assembly for crawls with no content rules (DUPLICATE
+    pass statically empty — see process_queue). One job end-to-end: the never-
+    traversed queue tail left-joins pages ONCE (broadcast inner + slim url
+    anti-join under the byte gate, a true left join above it), fetch-missing
+    rows ride through the extraction kernel as null-html rows carrying a
+    ``fetchok`` flag, and a single conditional projection emits OK /
+    ERROR_PARSE / ERROR_FETCH rows. Compared to the pinned shape this removes
+    a full tail-payload parquet write + re-read (IO that is flat in core
+    count) and the double evaluation of the fetch join that the old
+    fetched/missing split caused in one union job."""
+    if queue_rows is not None and queue_rows * FRONTIER_ROW_BYTES <= BROADCAST_MAX_BYTES:
+        fetched = pages.join(F.broadcast(q), "url", "inner")
+        # the anti side reads the pages url column only — no html decode
+        missing = q.join(pages.select("url"), "url", "left_anti").withColumn(
+            "html", F.lit(None).cast("binary")
+        )
+        src = fetched.unionByName(missing, allowMissingColumns=True)
+    else:
+        src = q.join(pages, "url", "left")
+
+    if "http_status" not in src.columns:
+        src = src.withColumn("http_status", F.lit(200))
+    if "fetch_ms" not in src.columns:
+        src = src.withColumn("fetch_ms", F.lit(0).cast("long"))
+    if "lang" not in src.columns:
+        src = src.withColumn("lang", F.lit(None).cast("string"))
+    if "warc_ts" not in src.columns:
+        src = src.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+
+    extract_fn, _ = make_extract_pages(
+        config,
+        carry_cols=["pos", "lang", "warc_ts", "http_status", "fetch_ms", "fetchok"],
+    )
+    from pyspark.sql.types import TimestampType
+
+    out_schema = extract_schema_with(
+        [
+            StructField("pos", LongType()),
+            StructField("lang", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("http_status", IntegerType()),
+            StructField("fetch_ms", LongType()),
+            StructField("fetchok", BooleanType()),
+        ]
+    )
+    ex = _balance_for_parse(
+        spark,
+        src.select(
+            "url", "html", "pos", "lang", "warc_ts",
+            F.col("http_status").cast("int").alias("http_status"),
+            # P8 (WebPageProcessor.java:238-240) duration clamp; greatest
+            # skips nulls so fetch-missing rows land at 0
+            F.greatest(F.lit(0).cast("long"), F.col("fetch_ms").cast("long")).alias(
+                "fetch_ms"
+            ),
+            F.col("html").isNotNull().alias("fetchok"),
+        ),
+        queue_rows,
+    ).mapInPandas(extract_fn, out_schema)
+    excols = [
+        "url", "title", "segments", "links", "parse_error",
+        "pos", "lang", "warc_ts", "http_status", "fetchok", "fetch_ms",
+    ]
+    ex = ex.select(*excols[:-1], "fetch_ms")
+    if raw_docs is not None:
+        # rows already parsed during the crawl rounds: pinned raw tables,
+        # all fetched by construction (the rounds join pages inner)
+        rd = raw_docs.select(
+            *excols[:-2],
+            F.lit(True).alias("fetchok"),
+            F.greatest(
+                F.lit(0).cast("long"), F.col("fetch_ms").cast("long")
+            ).alias("fetch_ms"),
+        )
+        ex = ex.unionByName(rd)
+
+    is_fetch_err = ~F.col("fetchok")
+    is_parse_err = F.col("fetchok") & F.col("parse_error")
+    is_ok = F.col("fetchok") & ~F.col("parse_error")
+    null_segs = F.lit(None).cast("array<string>")
+    return ex.select(
+        F.when(is_ok, doc_id_col(F.col("url"))).alias("id"),
+        F.col("url"),
+        parse_host(F.col("url")).alias("domain"),
+        ts.alias("crawl_ts"),
+        F.when(is_fetch_err, F.lit("ERROR_FETCH"))
+        .when(is_parse_err, F.lit("ERROR_PARSE"))
+        .otherwise(F.lit("OK"))
+        .alias("status"),
+        # ERROR_FETCH never got a response: http_status stays null even when
+        # the pages table carries a default column
+        F.when(~is_fetch_err, F.col("http_status")).alias("http_status"),
+        F.when(is_fetch_err, F.lit(0).cast("long"))
+        .otherwise(F.col("fetch_ms"))
+        .alias("fetch_duration_ms"),
+        # the reference's crawlDepth = maxDepth quirk on parse errors
+        # (WebPageProcessor.java:224); null otherwise
+        F.when(is_parse_err, F.lit(config.max_depth)).cast("int").alias("crawl_depth"),
+        F.when(is_ok, F.col("title")).alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.when(is_ok, F.col("segments")).alias("contents"),
+        F.when(is_ok, content_length_col(F.col("segments")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("content_length"),
+        F.when(is_fetch_err, F.lit(None).cast("string"))
+        .otherwise(F.lit("text/html"))
+        .alias("content_type"),
+        F.when(is_ok, F.col("lang")).alias("language"),
+        F.when(is_ok, F.transform(F.col("links"), lambda l: l["href"])).alias(
+            "out_links"
+        ),
+        F.when(
+            is_ok, content_hash_segments(F.col("url"), F.col("segments"))
+        )
+        .otherwise(content_hash_segments(F.col("url"), null_segs))
+        .alias("hash"),
+        F.col("pos"),
+    )
+
+
 def process_queue(
     spark: SparkSession,
     queue: DataFrame,
@@ -887,6 +1044,15 @@ def process_queue(
     payload — the multi-KB contents/links columns never enter a shuffle.
     Without it the pass stays lazy (tests, driver-compared queries) and uses
     the single-pass window, which is semantically identical.
+
+    With NO content rules anywhere (``has_content_rules`` false — the
+    rules-less frontier-refresh shape, the common 10^10-scale crawl), every
+    doc's contents are empty by reference semantics so the DUPLICATE pass is
+    statically empty; the whole assembly collapses to the fused single-pass
+    plan in ``_fused_docs`` and ``materialize`` is ignored (callers resuming
+    from a snapshot pass has_content_rules = current config OR the snapshot's
+    recorded flag, so raw tables written under a rules-bearing config never
+    take the fused path).
     """
     q = queue.select("url", "pos")
     skipped_robots = None
@@ -896,6 +1062,10 @@ def process_queue(
         q, blocked = apply_robots(q, robots)
         skipped_robots = blocked
 
+    if has_content_rules is None:
+        has_content_rules = config.has_content_rules
+    ts = F.to_timestamp(F.lit(crawl_ts))
+
     if raw_docs is not None:
         # single-parse reuse (run_crawl raw capture): queue urls already
         # parsed during the crawl rounds skip the fetch+extract path below;
@@ -904,6 +1074,22 @@ def process_queue(
         q = q.join(raw_docs.select("url"), "url", "left_anti")
         if queue_rows is not None:
             queue_rows = max(0, queue_rows - (raw_rows or 0))
+
+    if not has_content_rules:
+        # fused single-pass docs (the rules-less frontier-refresh shape, i.e.
+        # the common 10^10-scale crawl): with the DUPLICATE pass skipped the
+        # tail parse output has exactly ONE consumer, so pinning it to a raw
+        # table would add a full payload write + re-read whose IO cost is
+        # flat in core count (measured docs E = 0.40 at 4 -> 16 cores). The
+        # tail parse instead streams straight into the docs write: one left
+        # join, missing-ness carried through the kernel as a flag, one
+        # conditional projection emitting every status row. ``materialize``
+        # is deliberately unused — resumability is unaffected because the
+        # docs pass is one idempotent job over the committed round tables.
+        out = _fused_docs(spark, q, pages, config, ts, queue_rows, raw_docs)
+        if skipped_robots is not None:
+            out = out.unionByName(_robots_docs(skipped_robots, ts))
+        return out
 
     if queue_rows is not None and queue_rows * FRONTIER_ROW_BYTES <= BROADCAST_MAX_BYTES:
         # broadcast the queue: the pages table (html payload) streams through
@@ -988,22 +1174,9 @@ def process_queue(
             rd = rd.withColumn("_ckey", _content_key())
         ex = ex.unionByName(rd)
 
-    ts = F.to_timestamp(F.lit(crawl_ts))
     parsed = ex.filter(~F.col("parse_error"))
     w_dup = Window.partitionBy("_ckey")
-    if has_content_rules is None:
-        has_content_rules = config.has_content_rules
-    if not has_content_rules:
-        # no extraction rules anywhere -> every doc's contents are empty by
-        # reference semantics, so the content-hash DUPLICATE pass cannot mark
-        # anything: skip its whole-queue shuffle outright (this is the
-        # rules-less frontier-refresh shape — the common 10^10-scale crawl).
-        # Callers resuming from a snapshot pass has_content_rules = current
-        # config OR the snapshot's recorded flag, so raw tables written under
-        # a rules-bearing config never skip the pass.
-        keyed = parsed
-        dup_status = F.lit("OK")
-    elif materialize is not None:
+    if materialize is not None:
         # scale shape: every input is now a pinned table CARRYING _ckey, so
         # the duplicate LOSERS (pos > first pos of their content key) come out
         # of a slim column-pruned pass — url+pos+_ckey only, ~100 B/row read
@@ -1113,28 +1286,7 @@ def process_queue(
         .unionByName(err_docs.select(*cols))
     )
     if skipped_robots is not None:
-        robots_docs = skipped_robots.select(
-            F.lit(None).cast("string").alias("id"),
-            F.col("url"),
-            parse_host(F.col("url")).alias("domain"),
-            ts.alias("crawl_ts"),
-            F.lit("SKIPPED_ROBOTS").alias("status"),
-            F.lit(None).cast("int").alias("http_status"),
-            F.lit(0).cast("long").alias("fetch_duration_ms"),
-            F.lit(None).cast("int").alias("crawl_depth"),
-            F.lit(None).cast("string").alias("title"),
-            F.lit(None).cast("string").alias("description"),
-            F.lit(None).cast("array<string>").alias("contents"),
-            F.lit(0).cast("long").alias("content_length"),
-            F.lit(None).cast("string").alias("content_type"),
-            F.lit(None).cast("string").alias("language"),
-            F.lit(None).cast("array<string>").alias("out_links"),
-            content_hash_segments(
-                F.col("url"), F.lit(None).cast("array<string>")
-            ).alias("hash"),
-            F.col("pos"),
-        )
-        out = out.unionByName(robots_docs.select(*cols))
+        out = out.unionByName(_robots_docs(skipped_robots, ts).select(*cols))
     return out
 
 

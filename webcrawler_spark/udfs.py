@@ -84,6 +84,20 @@ def make_extract_pages(config: CrawlConfig, carry_cols: Optional[list] = None):
             for row in pdf.itertuples(index=False):
                 url = row.url
                 html = row.html
+                if html is None:
+                    # null html (fetch-missing rows riding through the fused
+                    # docs pass): emit the error shape without attempting a
+                    # parse — the caller distinguishes ERROR_FETCH from
+                    # ERROR_PARSE via its own carried fetch flag
+                    out["url"].append(url)
+                    out["title"].append(None)
+                    out["text"].append(None)
+                    out["segments"].append(None)
+                    out["links"].append([])
+                    out["parse_error"].append(True)
+                    for c in carry_cols:
+                        out[c].append(getattr(row, c))
+                    continue
                 if isinstance(html, (bytes, bytearray, memoryview)):
                     html = bytes(html).decode("utf-8", errors="replace")
                 rules = config.get_content_rules(url)
