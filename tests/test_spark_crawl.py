@@ -32,6 +32,25 @@ def test_queue_order_matches_oracle(spark, pages_df, small_corpus, max_depth):
     assert got == oracle.queue_order
 
 
+def test_distributed_seed_path_matches_oracle(spark, pages_df, small_corpus, monkeypatch):
+    """Seed DataFrames above SEED_COLLECT_MAX take the fully distributed
+    dedup/rank branch (no driver collect). Force it by dropping the gate to 0
+    and check the crawl is byte-identical to the driver-list path, and that
+    the observable seed_path=distributed mark lands in res.timings (the
+    bench's no-driver-materialization evidence)."""
+    import webcrawler_spark.rounds as rounds_mod
+
+    monkeypatch.setattr(rounds_mod, "SEED_COLLECT_MAX", 0)
+    cfg = CrawlConfig(max_depth=2)
+    seeds = small_corpus.seeds
+    oracle = crawl_oracle(_corpus_dict(small_corpus), seeds, cfg, with_processor=False)
+    seeds_df = spark.createDataFrame([(u,) for u in seeds], "url string")
+    result = run_crawl(spark, pages_df, seeds_df, cfg, with_processor=False)
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert {"phase": "seed_path", "mode": "distributed"} in result.timings
+
+
 def test_seen_set_matches_oracle(spark, pages_df, small_corpus):
     cfg = CrawlConfig(max_depth=2)
     oracle, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=False)
