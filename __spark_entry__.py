@@ -761,6 +761,59 @@ group by 1, 2
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidate pairs closed under transitivity via
+    large-star/small-star connected components — the composition a real dedup
+    run ends with (a~b, b~c is one delete-group of three, not two pairs).
+    Every 20th doc is planted twice (+1M, +2M ids) so the check exercises
+    genuine 3-cliques, not just disjoint pairs."""
+    from webcrawler_spark.pipeline.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    clones = d.filter(F.col("doc_id") % 20 == 0)
+    planted = d.unionByName(
+        clones.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).unionByName(clones.withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    return dedup_clusters(planted, n_hashes=4, bands=2)
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+with recursive docs as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000 as doc_id, text from documents where doc_id % 20 = 0
+  union all
+  select doc_id + 2000000 as doc_id, text from documents where doc_id % 20 = 0),
+toks as (select doc_id, {_TOKS_SQL} as tk from docs),
+sh as (select doc_id, {_SHINGLES_SQL.format(tk='tk')} as s from toks),
+sig as (select doc_id,
+       list_aggregate(list_transform(s, x -> sha256('0:' || x)), 'min') as mh_0,
+       list_aggregate(list_transform(s, x -> sha256('1:' || x)), 'min') as mh_1,
+       list_aggregate(list_transform(s, x -> sha256('2:' || x)), 'min') as mh_2,
+       list_aggregate(list_transform(s, x -> sha256('3:' || x)), 'min') as mh_3
+  from sh),
+bandrows as (
+  select 0 as band, mh_0 || '|' || mh_1 as band_key, doc_id as id from sig
+  union all
+  select 1 as band, mh_2 || '|' || mh_3 as band_key, doc_id as id from sig),
+pairs as (
+  select l.id as a, r.id as b
+  from bandrows l join bandrows r
+    on l.band = r.band and l.band_key = r.band_key and l.id < r.id
+  group by 1, 2),
+nbr as (select a as u, b as v from pairs union select b, a from pairs),
+nodes as (select distinct u as id from nbr),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select n.v, reach.r from reach join nbr n on n.u = reach.id),
+lab as (select id, min(r) as cluster from reach group by id),
+sizes as (select cluster, count(*) as cluster_size from lab group by cluster)
+select l.id as doc_id, l.cluster, s.cluster_size, l.id = l.cluster as keep
+from lab l join sizes s using (cluster)
+"""
+
+
 def q_dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.dedup import simhash_signatures
 
@@ -1475,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_sig": q_dedup_simhash_sig,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1527,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _MINHASH_SIG_SQL,
         "dedup_lsh_pairs": _LSH_PAIRS_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_simhash_sig": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -487,3 +487,67 @@ def test_ivf_partitioned_write_prunes_input_files(spark, emb, tmp_path):
     # and the plan carries the partition filter (not a post-scan filter)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup clusters)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_path_clique_pair(spark):
+    """Transitive closure on a diameter-9 path, a 3-clique and a disjoint
+    pair — the three shapes a near-dup pair graph produces."""
+    from webcrawler_spark.pipeline.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 10)] + [
+        (100, 101), (100, 102), (101, 102), (200, 201),
+    ]
+    out = {
+        r["id"]: r["cluster"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "a long, b long")
+        ).collect()
+    }
+    assert all(out[i] == 1 for i in range(1, 11))
+    assert all(out[i] == 100 for i in (100, 101, 102))
+    assert out[200] == out[201] == 200
+
+
+def test_connected_components_logarithmic_rounds(spark):
+    """Large-star/small-star must close a 64-node path well inside the
+    O(log n) bound — the reason it's used over diameter-bound min-flooding."""
+    from webcrawler_spark.pipeline.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(64)]
+    out = connected_components(
+        spark.createDataFrame(edges, "a long, b long"), max_iters=10
+    ).collect()
+    assert len(out) == 65
+    assert {r["cluster"] for r in out} == {0}
+
+
+def test_connected_components_empty(spark):
+    from webcrawler_spark.pipeline.dedup import connected_components
+
+    df = spark.createDataFrame([], "a long, b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_merges_planted_triple(spark):
+    """Three byte-identical docs (one original + two clones) must land in ONE
+    cluster of 3 with the min id kept — pairs alone would report two rows."""
+    from webcrawler_spark.pipeline.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base), (1000001, base), (2000001, base),
+        (7, "completely different content with no shared shingles at all ok"),
+    ]
+    out = dedup_clusters(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        n_hashes=4, bands=2,
+    ).collect()
+    got = {(r["doc_id"], r["cluster"], r["cluster_size"], r["keep"]) for r in out}
+    assert got == {
+        (1, 1, 3, True), (1000001, 1, 3, False), (2000001, 1, 3, False),
+    }

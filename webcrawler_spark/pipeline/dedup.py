@@ -461,3 +461,121 @@ def embedding_dropped_buckets(
         .agg(F.count("*").cast("long").alias("n_ids"))
         .filter(F.col("n_ids") > max_bucket)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Cluster labels (id, cluster) for the undirected graph given as a pair
+    list — the last stage of a near-dup pipeline: candidate pairs from
+    LSH/SimHash/Jaccard become duplicate CLUSTERS, one keeper per cluster.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the shuffle-bounded
+    formulation that converges in O(log n) rounds even on path graphs, unlike
+    naive min-label flooding whose round count is the cluster DIAMETER (a
+    chain of near-dups at corpus scale would need thousands of rounds).
+    Each round is two groupBy-shuffles keyed by node id; edge multiplicity is
+    deduped per round, so the working set only shrinks. Iteration state is
+    pinned with localCheckpoint per round (plan growth would otherwise be
+    exponential in rounds).
+
+    Returns one row per node that appears in ``edges``: (id, cluster) with
+    cluster = min node id of the component. Raises if ``max_iters`` rounds do
+    not converge (never observed: 2 rounds suffice for clique-ish dup
+    clusters, O(log n) worst case).
+    """
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select("u").union(e.select("v")).distinct().withColumnRenamed("u", "id")
+
+    def _checksum(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev = _checksum(e)
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to m = min(N(u) + {u})
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        e = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (max -> min); u and all small neighbors link to m
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = o.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        selfe = mins.select(F.col("u"), F.col("m").alias("v"))
+        e = (
+            small.union(selfe)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iters} rounds")
+
+    # converged edge set is a star per component: member -> root(min). The
+    # root's own label is itself (its neighbors are all larger).
+    lab = e.groupBy("u").agg(F.min("v").alias("cluster")).withColumnRenamed("u", "id")
+    return (
+        nodes.join(lab, "id", "left")
+        .select("id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup clusters over MinHash-LSH candidate pairs: one row per member
+    doc, (doc_id, cluster, cluster_size, keep) — ``keep`` marks the canonical
+    representative (min doc id), everything else is the delete set. The
+    composition a real training-data dedup ends with: pairs alone double-count
+    (a~b, b~c is ONE group of three, not two pairs)."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col,
+        n_hashes=n_hashes, bands=bands, shingle_k=shingle_k, max_bucket=max_bucket,
+    )
+    cc = connected_components(pairs, "a", "b")
+    sizes = cc.groupBy("cluster").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "cluster_size",
+            (F.col("id") == F.col("cluster")).alias("keep"),
+        )
+    )
