@@ -1484,6 +1484,82 @@ select kind, name, value from (values
 """
 
 
+def q_fetch_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch retry/backoff/dead-letter resolution (README.md:150-151,161):
+    synthetic 3-attempt fetch logs (statuses derived from md5(doc_id:attempt),
+    so both engines compute the identical attempt history) resolved to one
+    outcome per url — OK / FAILED (non-retryable 4xx) / DEAD_LETTER
+    (transient failures exhausted the budget), with exponential backoff
+    totals and Retry-After honored for 429."""
+    from webcrawler_spark.operators.retry import resolve_fetch_attempts
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % N_HOSTS).cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    a = d.select(
+        url.alias("url"), "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("attempt"),
+    )
+    c = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.col("attempt").cast("string"))), 1, 1)
+    a = a.withColumn("_c", c).select(
+        "url", "attempt",
+        F.when(F.col("_c") <= "6", 200)
+        .when(F.col("_c") <= "9", 503)
+        .when(F.col("_c").isin("a", "b"), 500)
+        .when(F.col("_c").isin("c", "d"), 429)
+        .when(F.col("_c") == "e", 404)
+        .otherwise(302)
+        .alias("http_status"),
+        F.when(F.col("_c") == "c", F.lit(1500)).cast("long").alias("retry_after_ms"),
+    )
+    return resolve_fetch_attempts(a)
+
+
+_FETCH_RETRY_SQL = f"""
+with att as (
+  select 'https://host' || (doc_id % {N_HOSTS})::varchar || '.example.com/doc/'
+           || doc_id::varchar as url,
+         a.attempt,
+         substr(md5(doc_id::varchar || ':' || a.attempt::varchar), 1, 1) as c
+  from documents, (select unnest([1, 2, 3]) as attempt) a),
+st as (
+  select url, attempt,
+         case when c <= '6' then 200 when c <= '9' then 503
+              when c in ('a','b') then 500 when c in ('c','d') then 429
+              when c = 'e' then 404 else 302 end as http_status,
+         case when c = 'c' then 1500 end as retry_after_ms
+  from att),
+r as (
+  select *, (http_status >= 500
+             or (http_status = 429 and retry_after_ms is not null)) as retryable
+  from st),
+w as (
+  select *,
+         min(case when not retryable then attempt end)
+             over (partition by url) as res_att,
+         max(attempt) over (partition by url) as max_att
+  from r),
+e as (
+  select *, coalesce(res_att, max_att) as eff,
+         case when http_status = 429 then retry_after_ms
+              else (2000 * (2.0 ** (attempt - 1)))::bigint end as backoff
+  from w)
+select url,
+       max(case when attempt = eff then http_status end) as final_status,
+       min(eff) as n_attempts,
+       coalesce(sum(case when attempt < eff then backoff end), 0)::bigint
+         as total_backoff_ms,
+       case when min(res_att) is null then 'DEAD_LETTER'
+            when max(case when attempt = eff then http_status end) < 400 then 'OK'
+            else 'FAILED' end as outcome
+from e group by url
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1548,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_polite_capped": q_crawl_polite_capped,
         "crawl_timed_politeness": q_crawl_timed_politeness,
         "catalog_lifecycle": q_catalog_lifecycle,
+        "fetch_retry_policy": q_fetch_retry_policy,
     }
 
 
@@ -1601,4 +1678,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_polite_capped": _crawl_polite_capped_sql(),
         "crawl_timed_politeness": _crawl_timed_politeness_sql(),
         "catalog_lifecycle": _CATALOG_LIFECYCLE_SQL,
+        "fetch_retry_policy": _FETCH_RETRY_SQL,
     }
