@@ -1560,6 +1560,172 @@ from e group by url
 """
 
 
+# corpus-cleaning ops (C4 / Gopher style). Patterns kept in lockstep with
+# webcrawler_spark.pipeline.textclean (module-level SQL can't import lazily).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+# planted corpus-wide boilerplate for line dedup: a banner on even docs, a
+# footer on every doc — both must vanish from every doc, the real text stays
+_BANNER = "COOKIE BANNER accept all"
+_FOOTER = "Footer: (c) example.com"
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup: lines occurring in >= 2 distinct docs
+    (the planted banner/footer) are boilerplate, removed from every doc;
+    cleaned_hash pins exactly which text survives, in order."""
+    from webcrawler_spark.pipeline.textclean import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.concat_ws(
+        "\n",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_BANNER)),
+        F.col("text"),
+        F.lit(_FOOTER),
+    )
+    return line_dedup(d.select("doc_id", txt.alias("text")))
+
+
+_LINE_DEDUP_SQL = f"""
+with docs as (
+  select doc_id,
+         concat_ws(chr(10),
+                   case when doc_id % 2 = 0 then '{_BANNER}' end,
+                   text, '{_FOOTER}') as text
+  from documents),
+lines as (
+  select doc_id, x.line as line, x.ord as ord from (
+    select doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (x, i) -> {{'line': x, 'ord': i}})) as x
+    from docs)),
+norm as (select doc_id, line, ord, trim(line) as nl from lines),
+hot as (
+  select sha256(nl) as lh from norm where nl != ''
+  group by 1 having count(distinct doc_id) >= 2),
+marked as (
+  select n.doc_id, n.line, n.ord, (h.lh is not null) as is_hot
+  from norm n left join hot h on sha256(n.nl) = h.lh)
+select doc_id, count(*) as n_lines,
+       sum(case when is_hot then 1 else 0 end)::bigint as n_removed,
+       sha256(coalesce(
+         string_agg(case when not is_hot then line end, chr(10) order by ord),
+         '')) as cleaned_hash
+from marked group by doc_id
+"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with typed tokens: emails / IPv4 / phone numbers planted
+    per doc_id residue class so every branch (single, multiple, mixed
+    categories) is exercised; counts + sha256 of the scrubbed text."""
+    from webcrawler_spark.pipeline.textclean import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" Contact user"), did,
+                     F.lit("@mail.example.com from 10.0."),
+                     (F.col("doc_id") % 200).cast("string"), F.lit(".7 now")),
+        )
+        .when(F.col("doc_id") % 3 == 1,
+              F.lit(" Call 555-123-4567 or 555-987-6543 today"))
+        .otherwise(
+            F.concat(F.lit(" Email admin@example.org call 555-000-1111 ip "
+                           "192.168.1."),
+                     (F.col("doc_id") % 200).cast("string"))
+        ),
+    )
+    return pii_scrub(d.select("doc_id", txt.alias("text")))
+
+
+_PII_SCRUB_SQL = f"""
+with docs as (
+  select doc_id,
+         text || case
+           when doc_id % 3 = 0 then ' Contact user' || doc_id::varchar
+                || '@mail.example.com from 10.0.' || (doc_id % 200)::varchar
+                || '.7 now'
+           when doc_id % 3 = 1 then ' Call 555-123-4567 or 555-987-6543 today'
+           else ' Email admin@example.org call 555-000-1111 ip 192.168.1.'
+                || (doc_id % 200)::varchar end as text
+  from documents),
+s as (
+  select doc_id, text,
+         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') as s1
+  from docs),
+s2 as (select *, regexp_replace(s1, '{_IPV4_RE}', '<IP>', 'g') as sx from s)
+select doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))::bigint as n_emails,
+       len(regexp_extract_all(s1, '{_IPV4_RE}'))::bigint as n_ips,
+       len(regexp_extract_all(sx, '{_PHONE_RE}'))::bigint as n_phones,
+       sha256(regexp_replace(sx, '{_PHONE_RE}', '<PHONE>', 'g')) as scrubbed_hash
+from s2
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line / top-bigram / dup-trigram
+    fractions, scaled ints): every 7th doc gets a planted 'buy now' x10 spam
+    tail so the duplicate-n-gram branches fire on real repetition."""
+    from webcrawler_spark.pipeline.textclean import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" "), F.expr("repeat('buy now ', 10)")),
+    ).otherwise(F.col("text"))
+    return repetition_stats(d.select("doc_id", txt.alias("text")))
+
+
+_REPETITION_SQL = f"""
+with docs as (
+  select doc_id,
+         case when doc_id % 7 = 0 then text || ' ' || repeat('buy now ', 10)
+              else text end as text
+  from documents),
+toks as (select doc_id, {_TOKS_SQL} as tk from docs),
+lns as (
+  select doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x != '') as ls
+  from docs),
+dlf as (
+  select doc_id,
+         case when len(ls) > 0
+              then 1.0 - len(list_distinct(ls)) / len(ls)
+              else 0.0 end as v
+  from lns),
+g2 as (
+  select doc_id,
+         unnest(list_transform(tk[1:greatest(len(tk) - 1, 0)],
+                               (x, i) -> array_to_string(tk[i:i+1], ' '))) as g
+  from toks),
+a2 as (select doc_id, g, count(*) as c from g2 group by 1, 2),
+t2 as (select doc_id, max(c) / sum(c) as v from a2 group by 1),
+g3 as (
+  select doc_id,
+         unnest(list_transform(tk[1:greatest(len(tk) - 2, 0)],
+                               (x, i) -> array_to_string(tk[i:i+2], ' '))) as g
+  from toks),
+a3 as (select doc_id, g, count(*) as c from g3 group by 1, 2),
+t3 as (
+  select doc_id,
+         sum(case when c > 1 then c else 0 end) / sum(c) as v
+  from a3 group by 1)
+select d.doc_id,
+       round(d.v * 10000)::bigint as dup_line_frac,
+       round(coalesce(t2.v, 0.0) * 10000)::bigint as top_bigram_frac,
+       round(coalesce(t3.v, 0.0) * 10000)::bigint as dup_trigram_frac
+from dlf d left join t2 using (doc_id) left join t3 using (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1625,6 +1791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_timed_politeness": q_crawl_timed_politeness,
         "catalog_lifecycle": q_catalog_lifecycle,
         "fetch_retry_policy": q_fetch_retry_policy,
+        "text_line_dedup": q_text_line_dedup,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1679,4 +1848,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_timed_politeness": _crawl_timed_politeness_sql(),
         "catalog_lifecycle": _CATALOG_LIFECYCLE_SQL,
         "fetch_retry_policy": _FETCH_RETRY_SQL,
+        "text_line_dedup": _LINE_DEDUP_SQL,
+        "text_pii_scrub": _PII_SCRUB_SQL,
+        "text_repetition": _REPETITION_SQL,
     }
