@@ -509,6 +509,120 @@ from events group by 1, 2
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap (gaps-and-
+    islands) — the canonical clickstream/session operator a behavioral-corpus
+    pipeline needs. One shuffle on user_id: the lag window, the running-sum
+    window, and the session aggregation all share the same hash partitioning,
+    so Catalyst plans a single exchange; at 100 TB this is one user-keyed
+    shuffle with map-side combine on the final agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - prev_us
+    s = ev.withColumn(
+        "_new",
+        F.when(prev_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        _e(F.sum("value"), 2).alias("sum_value_e2"),
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+with g as (
+  select user_id, event_id, ts, value,
+         case when lag(ts) over w is null
+              or epoch_us(ts) - lag(epoch_us(ts)) over w > 1800000000
+              then 1 else 0 end as new_s
+  from events
+  window w as (partition by user_id order by ts, event_id)
+), s as (
+  select *, cast(sum(new_s) over (partition by user_id order by ts, event_id
+                                  rows unbounded preceding) as bigint) as session_id
+  from g
+)
+select user_id, session_id, count(*) as n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') as session_end,
+       cast(round(sum(value) * 100) as bigint) as sum_value_e2
+from s group by 1, 2
+"""
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete percentiles (p50/p95/p99 of value per
+    event_type) via rank selection: rn == ceil(p·n) over the value order.
+    Exact-selection semantics (no float interpolation) so the DuckDB twin is
+    bit-identical. Scale note: exact percentiles need a per-group sort (one
+    shuffle on event_type; AQE splits skewed groups); at 100 TB the scale
+    path is approx_percentile (t-digest, map-side mergeable) — this operator
+    is the exact small-group / validation variant."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(p: float) -> Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("value"))
+        )
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        _e(pick(0.5), 2).alias("p50_e2"),
+        _e(pick(0.95), 2).alias("p95_e2"),
+        _e(pick(0.99), 2).alias("p99_e2"),
+    )
+
+
+_EVENTS_PERCENTILES_SQL = """
+with r as (
+  select event_type, value,
+         row_number() over (partition by event_type order by value) as rn,
+         count(*) over (partition by event_type) as n
+  from events
+)
+select event_type, max(n) as n,
+       cast(round(max(case when rn = ceil(n * 0.5)  then value end) * 100) as bigint) as p50_e2,
+       cast(round(max(case when rn = ceil(n * 0.95) then value end) * 100) as bigint) as p95_e2,
+       cast(round(max(case when rn = ceil(n * 0.99) then value end) * 100) as bigint) as p99_e2
+from r group by event_type
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface over the events.props payload column
+    (SURVEY §2.9: the reference's Jackson (de)serialization maps to
+    get_json_object/from_json): extract $.k, bucket it, aggregate. Pure
+    codegen + one groupBy shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), _e(F.sum("value"), 2).alias("sum_value_e2"))
+    )
+
+
+_EVENTS_JSON_SQL = """
+select (json_extract(props, '$.k')::int) % 10 as k_bucket,
+       count(*) as n, cast(round(sum(value) * 100) as bigint) as sum_value_e2
+from events group by 1
+"""
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
@@ -1383,6 +1497,48 @@ def _crawl_polite_capped_sql() -> str:
     return f"select url, pos::bigint as pos from (values {vals}) t(url, pos) order by pos"
 
 
+_MAX_PAGES_CFG = dict(max_depth=2, per_host_budget=2, max_pages=11)
+
+
+def q_crawl_max_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxPages fetch budget (reference README.md:50 "maxPages: 1000", :144
+    "cap depth and total pages per job"): the job admits exactly 11 fetches
+    total, prefix-cutting the final round mid-admission in global discovery
+    order; everything discovered up to the cut stays enqueued. Oracle is the
+    sequential politeness oracle's queue order under the same budget."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.rounds import run_polite_crawl
+
+    corpus = generate_corpus(**_POLITE_CORPUS)
+    rows = [
+        {"url": r["url"], "html": bytes(r["html"]), "lang": r["lang"], "warc_ts": r["warc_ts"]}
+        for r in corpus.rows()
+    ]
+    pages = spark.createDataFrame(rows)
+    cfg = CrawlConfig(**_MAX_PAGES_CFG)
+    res = run_polite_crawl(spark, pages, corpus.seeds, cfg, with_processor=False)
+    return res.queue
+
+
+def _crawl_max_pages_sql() -> str:
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.oracle import crawl_oracle_polite
+
+    corpus = generate_corpus(**_POLITE_CORPUS)
+    golden = crawl_oracle_polite(
+        {u: h for u, (t, h, l) in corpus.pages.items()},
+        corpus.seeds,
+        CrawlConfig(**_MAX_PAGES_CFG),
+    ).queue_order
+    vals = ", ".join(
+        "('{u}', {p})".format(u=u.replace("'", "''"), p=p)
+        for p, u in enumerate(golden)
+    )
+    return f"select url, pos::bigint as pos from (values {vals}) t(url, pos) order by pos"
+
+
 def q_crawl_timed_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed politeness (crawl-delay clocks carried between rounds): one
     host's 25 s delay exceeds the 10 s window, so it serves roughly every
@@ -1757,6 +1913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_status_agg": q_o3_status_agg,
         "window_lag": q_window_lag,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_percentiles": q_events_percentiles,
+        "events_json_props": q_events_json_props,
         "stream_events_windowed": q_stream_events_windowed,
         "set_intersect": q_set_intersect,
         "agg_rollup": q_agg_rollup,
@@ -1788,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_queue_order": q_crawl_queue_order,
         "crawl_status_counts": q_crawl_status_counts,
         "crawl_polite_capped": q_crawl_polite_capped,
+        "crawl_max_pages": q_crawl_max_pages,
         "crawl_timed_politeness": q_crawl_timed_politeness,
         "catalog_lifecycle": q_catalog_lifecycle,
         "fetch_retry_policy": q_fetch_retry_policy,
@@ -1816,6 +1976,9 @@ def oracle_sql() -> dict[str, str]:
         "o3_status_agg": _O3_SQL,
         "window_lag": _WINDOW_LAG_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "events_percentiles": _EVENTS_PERCENTILES_SQL,
+        "events_json_props": _EVENTS_JSON_SQL,
         "stream_events_windowed": _STREAM_EVENTS_SQL,
         "set_intersect": _SET_INTERSECT_SQL,
         "agg_rollup": _AGG_ROLLUP_SQL,
@@ -1845,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_queue_order": _crawl_queue_order_sql(),
         "crawl_status_counts": _crawl_status_counts_sql(),
         "crawl_polite_capped": _crawl_polite_capped_sql(),
+        "crawl_max_pages": _crawl_max_pages_sql(),
         "crawl_timed_politeness": _crawl_timed_politeness_sql(),
         "catalog_lifecycle": _CATALOG_LIFECYCLE_SQL,
         "fetch_retry_policy": _FETCH_RETRY_SQL,

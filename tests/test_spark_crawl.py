@@ -641,6 +641,57 @@ def test_global_qps_matches_oracle(spark, tiny_pages_df, tiny_corpus):
     assert result.rounds_run == oracle.rounds
 
 
+def test_max_pages_budget_matches_oracle(spark, tiny_pages_df, tiny_corpus):
+    """maxPages (reference README.md:50 "maxPages: 1000", :144 "cap depth and
+    total pages per job"): the job's total admitted-fetch budget. The in-round
+    remainder prefix-cuts the admitted set in global discovery order; the
+    crawl stops once spent, but everything DISCOVERED up to the cut stays in
+    the queue/seen state."""
+    cfg = CrawlConfig(max_depth=2, per_host_budget=2, max_pages=11)
+    base = crawl_oracle_rounds_total(tiny_corpus, CrawlConfig(max_depth=2, per_host_budget=2))
+    assert base > 11  # the budget genuinely binds on this corpus
+    oracle, result = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
+    assert sum(oracle.admitted_per_round) == 11  # spent exactly, mid-round cut
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert result.rounds_run == oracle.rounds
+    assert {r["url"] for r in result.seen.collect()} == oracle.seen
+
+
+def crawl_oracle_rounds_total(corpus, cfg) -> int:
+    from webcrawler_spark.oracle import crawl_oracle_polite
+
+    o = crawl_oracle_polite(
+        {u: h for u, (t, h, l) in corpus.pages.items()}, corpus.seeds, cfg
+    )
+    return sum(o.admitted_per_round)
+
+
+def test_max_pages_composes_with_global_qps(spark, tiny_pages_df, tiny_corpus):
+    """maxPages rides the same global prefix cut as globalQps: the effective
+    per-round cap is min(G, remaining budget)."""
+    cfg = CrawlConfig(
+        max_depth=2, per_host_budget=3, global_qps=1,
+        politeness_window_ms=4_000, max_pages=10,  # G = 4/round, budget 10
+    )
+    oracle, result = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
+    assert sum(oracle.admitted_per_round) == 10  # budget spent exactly
+    assert max(oracle.admitted_per_round) <= 4  # G still binds per round
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+    assert result.rounds_run == oracle.rounds
+
+
+def test_max_pages_zero_keeps_seeds_discovered(spark, tiny_pages_df, tiny_corpus):
+    """Zero fetch budget: no rounds run, but the seeds are still discovered
+    (enqueued + seen) — discovery state is independent of the fetch budget."""
+    cfg = CrawlConfig(max_depth=2, per_host_budget=2, max_pages=0)
+    oracle, result = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
+    assert oracle.rounds == 0 and result.rounds_run == 0
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order == list(tiny_corpus.seeds)
+
+
 def test_timed_with_global_and_concurrency_caps(spark, tiny_pages_df, tiny_corpus):
     """All three politeness mechanisms composed: crawl-delay clocks + the
     global QPS budget + maxConcurrentPerDomain — the timed clock must advance

@@ -56,6 +56,12 @@ class CrawlConfig:
     # additional per-host-per-round admission cap of c
     global_qps: Optional[int] = None
     max_concurrent_per_domain: Optional[int] = None
+    # maxPages (reference README.md:50 "maxPages: 1000", :144 "cap depth and
+    # total pages per job"): total ADMITTED fetches per crawl job. When the
+    # budget runs out mid-round the admitted set is prefix-cut in global
+    # discovery order (same machinery as globalQps); discovery state (queue /
+    # seen) keeps everything found up to the cut, and the crawl stops.
+    max_pages: Optional[int] = None
 
     def __post_init__(self) -> None:
         self._generic_rules: List[Rule] = build_rules(self.content_rules)
@@ -130,6 +136,7 @@ class CrawlConfig:
             politeness_window_ms=d.get("politenessWindowMs", 10_000),
             global_qps=d.get("globalQps"),
             max_concurrent_per_domain=d.get("maxConcurrentPerDomain"),
+            max_pages=d.get("maxPages"),
         )
 
     @classmethod

@@ -293,6 +293,7 @@ def crawl_oracle_polite(
     window_ms: Optional[int] = None,
     global_qps: Optional[int] = None,
     max_concurrent: Optional[int] = None,
+    max_pages: Optional[int] = None,
 ) -> PoliteOracleResult:
     """The reference BFS extended with the *designed* politeness + robots
     semantics (README.md:55-57,145-147 — declared, never implemented there;
@@ -317,6 +318,11 @@ def crawl_oracle_polite(
     - ``max_concurrent`` (maxConcurrentPerDomain, README.md:55-57): an extra
       per-host-per-round cap min'd into k — a fetch occupies its slot for the
       round window, so at most that many per host are in flight per round.
+    - ``max_pages`` (maxPages, README.md:50,:144): the job's total
+      admitted-fetch budget. The in-round remainder prefix-cuts the admitted
+      set in global discovery order (same shape as the globalQps cut); the
+      crawl stops once the budget is spent. Discovery state (queue/seen)
+      keeps everything found up to the cut.
     - ``global_qps`` (globalQps): the round admits at most
       floor(global_qps · window_ms / 1000) URLs TOTAL, keeping the first G of
       the per-host-admitted set in global discovery order; overflow defers
@@ -357,8 +363,15 @@ def crawl_oracle_polite(
     global_cap = (
         int(global_qps * window_ms / 1000) if global_qps is not None else None
     )
+    if max_pages is None:
+        max_pages = config.max_pages
+    fetched_total = 0
     next_allowed: Dict[str, int] = {}
-    while pending and res.rounds < max_rounds:
+    while (
+        pending
+        and res.rounds < max_rounds
+        and (max_pages is None or fetched_total < max_pages)
+    ):
         r = res.rounds
         res.rounds += 1
         admitted: List[Tuple[str, int]] = []
@@ -392,6 +405,9 @@ def crawl_oracle_polite(
             # global budget: keep the first G in discovery order, defer the
             # rest (a prefix cut per host — per-host ordering preserved)
             admitted = admitted[:global_cap]
+        if max_pages is not None:
+            admitted = admitted[: max(0, max_pages - fetched_total)]
+        fetched_total += len(admitted)
         adm_set = {u for u, _ in admitted}
         # deferred = pending minus final admitted, in original discovery order
         # (urls are unique in pending: the visited gate pushes each once)

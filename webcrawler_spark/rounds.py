@@ -1361,6 +1361,12 @@ def run_polite_crawl(
         if config.global_qps is not None
         else None
     )
+    # maxPages (README.md:50,:144): total admitted-fetch budget per job; the
+    # in-round remainder rides the same global prefix-cut as globalQps
+    max_pages = config.max_pages
+    fetched_total = 0
+    if max_pages is not None and max_pages <= 0:
+        max_rounds = 0  # zero fetch budget: seeds stay discovered, no rounds
 
     _seed_marks: List[dict] = []
     traverse, n_seeds = _seed_frontier(
@@ -1405,13 +1411,18 @@ def run_polite_crawl(
 
     for rnd in range(max_rounds):
         t0 = time.monotonic()
+        round_frontier = frontier_rows  # |traverse| before this round mutates it
+        eff_cap = global_cap
+        if max_pages is not None:
+            rem = max(0, max_pages - fetched_total)
+            eff_cap = rem if eff_cap is None else min(eff_cap, rem)
         tr = traverse.withColumn("host", parse_host(F.col("url")))
         if delays is not None:
             admitted, deferred, new_state = timed_admit(
                 tr, budget, delays, host_state,
                 window_ms=config.politeness_window_ms, rnd=rnd,
                 order_cols=("grank",), host_col="host",
-                max_concurrent=max_conc, global_cap=global_cap,
+                max_concurrent=max_conc, global_cap=eff_cap,
             )
             # tiny table (one row per host ever served); eager so the round's
             # clock advance is pinned before the frontier mutates
@@ -1430,7 +1441,7 @@ def run_polite_crawl(
             admitted = admitted.drop("rank")
             deferred = deferred.drop("rank")
             admitted, deferred = global_cap_admit(
-                admitted, deferred, global_cap, order_cols=("grank",)
+                admitted, deferred, eff_cap, order_cols=("grank",)
             )
         else:
             admitted, deferred = admit(
@@ -1438,7 +1449,7 @@ def run_polite_crawl(
                 max_concurrent=max_conc,
             )
             admitted, deferred = global_cap_admit(
-                admitted, deferred, global_cap, order_cols=("grank",)
+                admitted, deferred, eff_cap, order_cols=("grank",)
             )
         if robots is not None:
             allowed, _blocked = apply_robots(admitted, robots)
@@ -1677,8 +1688,11 @@ def run_polite_crawl(
                 }
             )
         res.rounds_run += 1
+        fetched_total += round_frontier - n_def  # this round's admitted count
         if n_next_total == 0:
             break
+        if max_pages is not None and fetched_total >= max_pages:
+            break  # fetch budget exhausted; discovery state stays committed
         traverse = traverse_next
 
     if store is not None:
