@@ -502,6 +502,66 @@ where ws + interval '1 day' <= m - interval '2 days'
 """
 
 
+def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-user
+    session windows with a 30-min inactivity gap, drained with
+    Trigger.AvailableNow. Emits sessions closed in-batch plus trailing
+    sessions whose event-time timeout (last_ts + gap) the final watermark
+    (max ts − 1 h) passed — a deterministic, SQL-checkable set. Per-user
+    state is O(1); one user_id exchange; Arrow-batched (no per-row Python).
+    streaming.sessionize_stateful; batch twin = events_sessionize."""
+    import tempfile
+    import uuid
+
+    from webcrawler_spark.streaming import sessionize_stateful
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sess = sessionize_stateful(ev, gap_s=1800, watermark="1 hour")
+    qname = "sess_q_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+_STREAM_SESSIONS_SQL = """
+with g as (
+  select user_id, event_id, ts, value,
+         case when lag(ts) over w is null
+              or epoch_us(ts) - lag(epoch_us(ts)) over w > 1800000000
+              then 1 else 0 end as new_s
+  from events
+  window w as (partition by user_id order by ts, event_id)
+), s as (
+  select *, cast(sum(new_s) over (partition by user_id order by ts, event_id
+                                  rows unbounded preceding) as bigint) as session_id
+  from g
+), agg as (
+  select user_id, session_id, count(*) as n_events,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') as session_end,
+         cast(round(sum(value) * 100) as bigint) as sum_value_e2,
+         epoch_ms(max(ts)) as last_ms,
+         max(cast(session_id as bigint)) over (partition by user_id) as last_sid
+  from s group by user_id, session_id
+), mx as (select epoch_ms(max(ts)) - 3600000 as wm_ms from events)
+select user_id, session_id, n_events, session_start, session_end, sum_value_e2
+from agg, mx
+where session_id < last_sid or last_ms + 1800000 < wm_ms
+"""
+
+
 _EVENTS_HOURLY_SQL = """
 select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour, event_type,
        count(*) as n, cast(round(sum(value) * 100) as bigint) as sum_value_e2
@@ -1914,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "stream_events_sessions": q_stream_events_sessions,
         "events_percentiles": q_events_percentiles,
         "events_json_props": q_events_json_props,
         "stream_events_windowed": q_stream_events_windowed,
@@ -1977,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
         "window_lag": _WINDOW_LAG_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "stream_events_sessions": _STREAM_SESSIONS_SQL,
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "stream_events_windowed": _STREAM_EVENTS_SQL,

@@ -128,3 +128,58 @@ def test_windowed_status_counts_finalized_windows(spark, pages_dir, tmp_path):
     }
     assert got == expected
     assert len(got) > 0  # the 30-day corpus spread must close most windows
+
+
+def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState session windows):
+    the availableNow drain must emit exactly (a) sessions closed in-batch by
+    a later event > gap after them, plus (b) trailing sessions whose
+    event-time timeout (last_ts + gap) the final watermark passed — and each
+    emitted row must be byte-identical to the batch gaps-and-islands
+    sessionizer (same ordinal session_id, bounds, count, value sum)."""
+    import uuid
+
+    from webcrawler_spark.streaming import sessionize_stateful
+
+    sf_dir = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sess = sessionize_stateful(ev, gap_s=1800, watermark="1 hour")
+    qn = "sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(qn)
+
+    import __spark_entry__ as entry
+    from pyspark.sql import Window
+
+    batch = entry.queries()["events_sessionize"](spark, sf_dir)
+    max_us = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .collect()[0][0]
+    )
+    wm_ms = max_us // 1000 - 3600_000  # watermark: max event ms - 1 hour
+    w = Window.partitionBy("user_id")
+    b = batch.withColumn("_last", F.max("session_id").over(w))
+    closed = b.filter(F.col("session_id") < F.col("_last"))
+    timed_out = b.filter(
+        (F.col("session_id") == F.col("_last"))
+        & (F.unix_millis(F.to_timestamp("session_end")) + 1800_000 < wm_ms)
+    )
+    expected = closed.unionByName(timed_out).drop("_last")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    n = got.count()
+    assert n > 0 and n == expected.count()

@@ -132,6 +132,137 @@ def windowed_status_counts(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, "
+    "session_start string, session_end string, sum_value_e2 long"
+)
+# (sessions already emitted for this user, open-session start/last event time
+# in epoch-micros, open-session event count and value sum)
+SESSION_STATE_SCHEMA = (
+    "n_done long, start_us long, last_us long, n_events long, sum_value double"
+)
+
+
+def _fmt_us(us: int) -> str:
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        us // 1_000_000, datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows with an
+    inactivity gap, built on ``applyInPandasWithState`` (the Spark extension
+    point for operators the built-in streaming aggs can't express — here,
+    data-driven session boundaries with an exact per-user ordinal session_id).
+
+    Semantics (the streaming twin of the batch gaps-and-islands sessionizer,
+    __spark_entry__.q_events_sessionize): events are grouped by ``user_id``;
+    a session closes when the next event is > ``gap_s`` later. Sessions
+    closed *within* a micro-batch are emitted immediately; the trailing open
+    session is carried in state with an event-time timeout at
+    ``last_ts + gap``, so the watermark (not wall clock) closes it — late
+    data within the watermark still extends the right session. State per
+    user is O(1); the shuffle is one exchange on user_id; Arrow moves each
+    user's batch slice into pandas in one block (no per-row Python).
+
+    session_id is the 1-based ordinal of the session in the user's event-time
+    order — byte-identical to the batch operator's running-sum id because the
+    emitted count is carried in state (``n_done``).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            n_done, start_us, last_us, n_ev, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_id": n_done + 1,
+                        "n_events": n_ev,
+                        "session_start": _fmt_us(start_us),
+                        "session_end": _fmt_us(last_us),
+                        "sum_value_e2": round(sv * 100),
+                    }
+                ]
+            )
+            return
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        ts_us = rows[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = rows["value"].to_numpy()
+
+        if state.exists:
+            n_done, start_us, last_us, n_ev, sv = state.get
+        else:
+            n_done, start_us, last_us, n_ev, sv = 0, None, None, 0, 0.0
+
+        import numpy as np
+
+        # vectorized segment split: seg 0 may continue the carried session
+        brk = np.empty(len(ts_us), dtype=bool)
+        brk[0] = last_us is None or ts_us[0] - last_us > gap_us
+        brk[1:] = np.diff(ts_us) > gap_us
+        seg = np.cumsum(brk)  # 1-based for fresh segments; 0 continues state
+        bounds = np.flatnonzero(np.r_[True, brk[1:]])  # segment start indices
+        seg_n = np.diff(np.r_[bounds, len(ts_us)])
+        seg_sum = np.add.reduceat(vals, bounds)
+        seg_start = ts_us[bounds]
+        seg_end = ts_us[np.r_[bounds[1:] - 1, len(ts_us) - 1]]
+        if seg[0] == 0:  # first segment extends the carried open session
+            seg_start[0] = start_us
+            seg_n[0] += n_ev
+            seg_sum[0] += sv
+        out = []
+        for i in range(len(bounds) - 1):  # all but the trailing open segment
+            n_done += 1
+            out.append(
+                {
+                    "user_id": user_id,
+                    "session_id": n_done,
+                    "n_events": int(seg_n[i]),
+                    "session_start": _fmt_us(int(seg_start[i])),
+                    "session_end": _fmt_us(int(seg_end[i])),
+                    "sum_value_e2": round(float(seg_sum[i]) * 100),
+                }
+            )
+        start_us = int(seg_start[-1])
+        last_us = int(seg_end[-1])
+        n_ev = int(seg_n[-1])
+        sv = float(seg_sum[-1])
+        state.update((n_done, start_us, last_us, n_ev, sv))
+        # the watermark closes the open session gap_s after its last event
+        state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     out_dir: str,
