@@ -864,6 +864,68 @@ from orders
 # ---------------------------------------------------------------------------
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test split by content hash
+    (pipeline/sampling.py): membership is a pure function of doc_id — stable
+    across reruns, retries, and cluster sizes (rand()/df.sample() are not),
+    and the bucket predicate pushes down as a plain filter. Returns per-split
+    counts + char volume."""
+    from webcrawler_spark.pipeline.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    split = assign_split(F.col("doc_id").cast("string"))
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+_CORPUS_SPLIT_SQL = f"""
+select case when {_HASH64_SQL.format(x="doc_id::varchar")} % 1000 < 900 then 'train'
+            when {_HASH64_SQL.format(x="doc_id::varchar")} % 1000 < 950 then 'valid'
+            else 'test' end as split,
+       count(*) as n_docs, sum(n_chars) as sum_chars
+from documents group by 1
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash subsample (sampling.sample_by_hash), reported
+    per stratum (source): same membership on every run — the
+    coordination-free sampling a 100 TB curation pipeline needs."""
+    from webcrawler_spark.pipeline.sampling import sample_by_hash
+
+    d = _t(spark, sf_dir, "documents")
+    s = sample_by_hash(d, F.col("doc_id").cast("string"), keep_per_mille=100)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+_CORPUS_SAMPLE_SQL = f"""
+select source, count(*) as n_sampled, sum(n_chars) as sum_chars
+from documents
+where {_HASH64_SQL.format(x="doc_id::varchar")} % 1000 < 100
+group by source
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 token vocabulary (wordcount shape): explode + map-side
+    partial count + one tok shuffle + TakeOrderedAndProject. Deterministic
+    tie-break (n desc, tok asc)."""
+    from webcrawler_spark.pipeline.sampling import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), "text", k=50)
+
+
+_VOCAB_TOPK_SQL = f"""
+select t as tok, count(*) as n
+from documents, unnest({_TOKS_SQL}) as u(t)
+group by 1 order by n desc, tok limit 50
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with PLANTED duplicates: the raw documents table has no
     byte-identical texts (a vacuous 0==0 green in round 1), so every 10th doc
@@ -1977,6 +2039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_sessions": q_stream_events_sessions,
         "events_percentiles": q_events_percentiles,
         "events_json_props": q_events_json_props,
+        "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "vocab_topk": q_vocab_topk,
         "stream_events_windowed": q_stream_events_windowed,
         "set_intersect": q_set_intersect,
         "agg_rollup": q_agg_rollup,
@@ -2041,6 +2106,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_events_sessions": _STREAM_SESSIONS_SQL,
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
+        "corpus_split": _CORPUS_SPLIT_SQL,
+        "corpus_sample": _CORPUS_SAMPLE_SQL,
+        "vocab_topk": _VOCAB_TOPK_SQL,
         "stream_events_windowed": _STREAM_EVENTS_SQL,
         "set_intersect": _SET_INTERSECT_SQL,
         "agg_rollup": _AGG_ROLLUP_SQL,

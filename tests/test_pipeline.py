@@ -551,3 +551,75 @@ def test_dedup_clusters_merges_planted_triple(spark):
     assert got == {
         (1, 1, 3, True), (1000001, 1, 3, False), (2000001, 1, 3, False),
     }
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits (pipeline/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_split_deterministic_partition_invariant(spark, docs):
+    """Split membership is a pure function of the key: identical assignment
+    under different partitionings (the property rand()/df.sample() lack)."""
+    from webcrawler_spark.pipeline.sampling import assign_split
+
+    key = F.col("doc_id").cast("string")
+    a = docs.repartition(3).select("doc_id", assign_split(key).alias("s"))
+    b = docs.repartition(17, "lang").select("doc_id", assign_split(key).alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # exhaustive + exclusive: one label per doc
+    n = docs.count()
+    assert a.count() == n
+    labels = {r["s"] for r in a.select("s").distinct().collect()}
+    assert labels <= {"train", "valid", "test"}
+
+
+def test_split_fractions_near_nominal(docs):
+    """90/5/5 within a loose tolerance (hash uniformity, 500 docs)."""
+    from webcrawler_spark.pipeline.sampling import assign_split
+
+    counts = dict(
+        docs.groupBy(assign_split(F.col("doc_id").cast("string")).alias("s"))
+        .count()
+        .rdd.map(lambda r: (r["s"], r["count"]))
+        .collect()
+    )
+    n = sum(counts.values())
+    assert counts["train"] / n == pytest.approx(0.9, abs=0.05)
+    assert (counts.get("valid", 0) + counts.get("test", 0)) / n == pytest.approx(
+        0.1, abs=0.05
+    )
+
+
+def test_sample_by_hash_is_subset_and_stable(spark, docs, ddb):
+    """The 10% hash sample: exact same membership as the DuckDB twin
+    (portable sha256 bucket), and a strict subset of the input."""
+    from webcrawler_spark.pipeline.sampling import sample_by_hash
+
+    got = sorted(
+        r["doc_id"]
+        for r in sample_by_hash(docs, F.col("doc_id").cast("string"), 100)
+        .select("doc_id")
+        .collect()
+    )
+    exp = [
+        r[0]
+        for r in ddb.execute(
+            "select doc_id from documents "
+            "where (('0x' || substr(sha256(doc_id::varchar), 1, 15))::bigint) % 1000 < 100 "
+            "order by doc_id"
+        ).fetchall()
+    ]
+    assert got == exp and 0 < len(got) < docs.count()
+
+
+def test_vocab_topk_counts_and_tiebreak(docs, ddb):
+    from webcrawler_spark.pipeline.sampling import vocab_topk
+
+    got = [(r["tok"], r["n"]) for r in vocab_topk(docs, "text", k=10).collect()]
+    exp = ddb.execute(
+        "select t as tok, count(*) as n from documents, "
+        "unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) as u(t) "
+        "group by 1 order by n desc, tok limit 10"
+    ).fetchall()
+    assert got == [(t, n) for t, n in exp]
