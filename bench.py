@@ -43,6 +43,7 @@ HEADLINE = [
     "q5_regional_revenue",
     "topk_per_group",
     "events_hourly",
+    "events_sessionize",
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_lsh_pairs",

@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--max-depth", type=int, default=None)
     ap.add_argument("--per-host-budget", type=int, default=None)
     ap.add_argument(
+        "--max-pages", type=int, default=None,
+        help="job-wide admitted-fetch budget (reference maxPages); the crawl "
+        "stops when spent, discovery state stays committed",
+    )
+    ap.add_argument(
         "--robots", default=None,
         help="robots parquet (host, disallow array) — enables the robots gate",
     )
@@ -75,6 +80,8 @@ def main() -> int:
         config.max_depth = args.max_depth
     if args.per_host_budget is not None:
         config.per_host_budget = args.per_host_budget
+    if args.max_pages is not None:
+        config.max_pages = args.max_pages
 
     spark = get_spark(app_name="crawl")
     # Warm the JVM (codegen/JIT) and the Python worker pool before the timed
@@ -129,6 +136,7 @@ def main() -> int:
 
     polite = (
         config.per_host_budget is not None
+        or config.max_pages is not None
         or args.robots is not None
         or config.obey_robots
     )
