@@ -859,6 +859,90 @@ from orders
 """
 
 
+def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET recrawl resolution (README.md:149 "conditional GETs
+    (ETag/If-Modified-Since)", :156 "Skip if content hash unchanged" —
+    declared, never implemented there): prior-crawl hash snapshot vs the new
+    fetch set, one url-keyed full outer join → NEW / NOT_MODIFIED / MODIFIED
+    / GONE. Synthetic snapshots derived deterministically from documents
+    (every 5th url is NEW, every 7th MODIFIED, every 11th GONE)."""
+    from webcrawler_spark.operators.recrawl import recrawl_diff
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.example.com/"), F.col("doc_id").cast("string"))
+    prev = d.filter(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"), F.sha2(F.col("text"), 256).alias("hash")
+    )
+    cur = d.filter(F.col("doc_id") % 11 != 0).select(
+        url.alias("url"),
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("hash"),
+    )
+    return recrawl_diff(prev, cur)
+
+
+_RECRAWL_DIFF_SQL = """
+with d as (
+  select doc_id, 'https://docs.example.com/' || doc_id as url, text from documents
+), prev as (
+  select url, sha256(text) as hash from d where doc_id % 5 <> 0
+), cur as (
+  select url, sha256(case when doc_id % 7 = 0 then text || ' v2' else text end) as hash
+  from d where doc_id % 11 <> 0
+)
+select coalesce(p.url, c.url) as url,
+       case when p.hash is null then 'NEW'
+            when c.hash is null then 'GONE'
+            when p.hash = c.hash then 'NOT_MODIFIED'
+            else 'MODIFIED' end as status,
+       p.hash as prev_hash, c.hash as cur_hash
+from prev p full outer join cur c on p.url = c.url
+"""
+
+
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (README.md:147 "Optionally discover sitemaps and
+    enqueue entries up to limits" — declared-only): build one sitemap XML
+    body per host from the synthetic frontier, extract <loc> entries
+    JVM-side (regexp_extract_all + posexplode), cap at 5 per site in
+    document order (operators/sitemap.py). The oracle derives the expected
+    seed set independently (sorted distinct urls ranked per host) — it never
+    touches the XML, so extraction parity is genuinely checked."""
+    from webcrawler_spark.operators.sitemap import sitemap_entries
+
+    u = _urls(spark, sf_dir).select("url", "host").distinct()
+    sm = u.groupBy("host").agg(F.array_sort(F.collect_set("url")).alias("_locs"))
+    body = F.concat(
+        F.lit("<urlset>"),
+        F.array_join(
+            F.transform(
+                "_locs",
+                lambda x: F.concat(F.lit("<loc> "), x, F.lit(" </loc>")),
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    sitemaps = sm.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")).alias("url"),
+        body.alias("html"),
+    )
+    return sitemap_entries(sitemaps, limit_per_site=5)
+
+
+_SITEMAP_SEEDS_SQL = f"""
+with urls as ({_URLS_SQL})
+select host as site, url as loc,
+       row_number() over (partition by host order by url) as rank
+from (select distinct host, url from urls) t
+qualify row_number() over (partition by host order by url) <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -2077,6 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_timed_politeness": q_crawl_timed_politeness,
         "catalog_lifecycle": q_catalog_lifecycle,
         "fetch_retry_policy": q_fetch_retry_policy,
+        "recrawl_diff": q_recrawl_diff,
+        "sitemap_seeds": q_sitemap_seeds,
         "text_line_dedup": q_text_line_dedup,
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
@@ -2142,6 +2228,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_timed_politeness": _crawl_timed_politeness_sql(),
         "catalog_lifecycle": _CATALOG_LIFECYCLE_SQL,
         "fetch_retry_policy": _FETCH_RETRY_SQL,
+        "recrawl_diff": _RECRAWL_DIFF_SQL,
+        "sitemap_seeds": _SITEMAP_SEEDS_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,
         "text_pii_scrub": _PII_SCRUB_SQL,
         "text_repetition": _REPETITION_SQL,

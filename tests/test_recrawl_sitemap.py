@@ -1,0 +1,74 @@
+"""Conditional-GET recrawl resolution and sitemap discovery (reference
+README.md:147,149,156 — declared there, never implemented; semantics fixed
+here and mirrored by the recrawl_diff / sitemap_seeds DuckDB oracles)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from webcrawler_spark.session import get_spark
+
+    return get_spark(
+        app_name="recrawl-tests", master="local[4]", shuffle_partitions=8
+    )
+
+
+def test_recrawl_diff_all_statuses(spark):
+    from webcrawler_spark.operators.recrawl import fetch_set, recrawl_diff
+
+    prev = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], "url string, hash string"
+    )
+    cur = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2x"), ("u4", "h4")], "url string, hash string"
+    )
+    got = {r["url"]: r["status"] for r in recrawl_diff(prev, cur).collect()}
+    assert got == {
+        "u1": "NOT_MODIFIED",  # hash unchanged: the 304 skip path
+        "u2": "MODIFIED",
+        "u3": "GONE",
+        "u4": "NEW",
+    }
+    # the parse/index job consumes only NEW + MODIFIED
+    fs = {r["url"] for r in fetch_set(recrawl_diff(prev, cur)).collect()}
+    assert fs == {"u2", "u4"}
+
+
+def test_recrawl_diff_empty_prev_is_all_new(spark):
+    from webcrawler_spark.operators.recrawl import recrawl_diff
+
+    prev = spark.createDataFrame([], "url string, hash string")
+    cur = spark.createDataFrame([("u1", "h1")], "url string, hash string")
+    rows = recrawl_diff(prev, cur).collect()
+    assert [(r["url"], r["status"]) for r in rows] == [("u1", "NEW")]
+
+
+def test_sitemap_entries_limit_order_and_trim(spark):
+    from webcrawler_spark.operators.sitemap import sitemap_entries
+
+    body_a = (
+        "<urlset><loc> https://a.example.com/1 </loc>"
+        "<loc>https://a.example.com/2</loc>"
+        "<loc>\n  https://a.example.com/3\n</loc>"
+        "<loc></loc>"  # empty entry: no match
+        "</urlset>"
+    )
+    body_b = "<urlset><loc>https://b.example.com/only</loc></urlset>"
+    sm = spark.createDataFrame(
+        [
+            ("https://a.example.com/sitemap.xml", body_a.encode()),
+            ("https://b.example.com/sitemap.xml", body_b.encode()),
+        ],
+        "url string, html binary",
+    )
+    got = sitemap_entries(sm, limit_per_site=2).collect()
+    by_site = {}
+    for r in got:
+        by_site.setdefault(r["site"], []).append((r["rank"], r["loc"]))
+    # per-site cap 2, document order, whitespace trimmed, empty <loc> dropped
+    assert by_site["a.example.com"] == [
+        (1, "https://a.example.com/1"),
+        (2, "https://a.example.com/2"),
+    ]
+    assert by_site["b.example.com"] == [(1, "https://b.example.com/only")]
