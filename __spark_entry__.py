@@ -859,6 +859,43 @@ from orders
 """
 
 
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-description + canonical-link extraction (README.md:152 "extract
+    title, meta description, canonical link" — declared; the reference's
+    processor never implements it, WebPageContent.description stays null).
+    Pages are constructed so the expected values are known BY CONSTRUCTION:
+    the oracle predicts them from the url alone and never parses HTML, so
+    the kernel's DOM walk, case-insensitive attribute-value match and
+    relative-href absolutization are genuinely checked. Arrow-batched
+    pandas UDF (kernel.dom.select_meta), one parse per page."""
+    from webcrawler_spark.udfs import page_meta_udf
+
+    u = _urls(spark, sf_dir).select("url", "host", "o_orderkey")
+    k = F.col("o_orderkey").cast("string")
+    html = F.concat(
+        F.lit('<html><head><title>t</title><meta name="Description" content="Order '),
+        k,
+        F.lit(' summary"><link rel="CANONICAL" href="/o/'),
+        k,
+        F.lit('"></head><body><p>x</p></body></html>'),
+    )
+    m = u.select("url", "host", page_meta_udf(F.col("url"), html).alias("m"))
+    return m.select(
+        "url",
+        F.col("m.description").alias("description"),
+        F.col("m.canonical").alias("canonical"),
+    )
+
+
+_PAGE_META_SQL = f"""
+with urls as ({_URLS_SQL})
+select url,
+       'Order ' || o_orderkey || ' summary' as description,
+       'https://' || host || '/o/' || o_orderkey as canonical
+from urls
+"""
+
+
 def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-GET recrawl resolution (README.md:149 "conditional GETs
     (ETag/If-Modified-Since)", :156 "Skip if content hash unchanged" —
@@ -2162,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_lifecycle": q_catalog_lifecycle,
         "fetch_retry_policy": q_fetch_retry_policy,
         "recrawl_diff": q_recrawl_diff,
+        "page_meta": q_page_meta,
         "sitemap_seeds": q_sitemap_seeds,
         "text_line_dedup": q_text_line_dedup,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2229,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         "catalog_lifecycle": _CATALOG_LIFECYCLE_SQL,
         "fetch_retry_policy": _FETCH_RETRY_SQL,
         "recrawl_diff": _RECRAWL_DIFF_SQL,
+        "page_meta": _PAGE_META_SQL,
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,
         "text_pii_scrub": _PII_SCRUB_SQL,

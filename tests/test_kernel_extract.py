@@ -270,3 +270,48 @@ def test_extract_page_propagates_parse_error():
         assert False, "expected ParseError"
     except ParseError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# meta description + canonical link (README.md:152 — declared-only)
+# ---------------------------------------------------------------------------
+
+
+def test_select_meta_basic_and_first_wins():
+    from webcrawler_spark.kernel.dom import parse, select_meta
+
+    html = (
+        '<html><head>'
+        '<meta name="keywords" content="x">'
+        '<meta name="description" content="first desc">'
+        '<meta name="description" content="second desc">'
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="canonical" href="https://c.example.com/page">'
+        '<link rel="canonical" href="https://c.example.com/other">'
+        "</head><body></body></html>"
+    )
+    d, c = select_meta(parse(html), "https://a.example.com/x")
+    assert d == "first desc"  # first match wins (Jsoup select().attr())
+    assert c == "https://c.example.com/page"
+
+
+def test_select_meta_case_insensitive_and_relative_href():
+    from webcrawler_spark.kernel.dom import parse, select_meta
+
+    html = (
+        '<head><META NAME="Description" CONTENT="Desc Here">'
+        '<LINK REL="Canonical" HREF="/canon/1"></head>'
+    )
+    d, c = select_meta(parse(html), "https://host.example.com/deep/page")
+    assert d == "Desc Here"  # value match case-insensitive, content verbatim
+    assert c == "https://host.example.com/canon/1"  # abs:href resolution
+
+
+def test_select_meta_missing_gives_empty():
+    from webcrawler_spark.kernel.dom import parse, select_meta
+
+    d, c = select_meta(parse("<html><body><p>x</p></body></html>"), "https://a/")
+    assert d == "" and c == ""
+    # empty href: no canonical
+    d, c = select_meta(parse('<link rel="canonical" href="">'), "https://a/x")
+    assert c == ""

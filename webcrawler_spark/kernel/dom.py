@@ -396,6 +396,41 @@ def parse(html: str) -> Document:
     return Document(builder.root)
 
 
+def select_meta(doc: Element, base_url: str) -> Tuple[str, str]:
+    """First ``meta[name=description]@content`` and
+    ``link[rel=canonical]@abs:href`` in document order.
+
+    Reference README.md:152 declares "extract title, meta description,
+    canonical link" but WebPageProcessor never implements it (the shipped
+    ``description`` field stays null — WebPageContent.java:34 exists,
+    setDescription is never called); semantics fixed here Jsoup-style:
+    attribute-value match is case-insensitive, the canonical href resolves
+    absolute against the page URL, first match wins, missing → empty."""
+    desc = ""
+    canon = ""
+    for el in doc.iter_elements():
+        if (
+            not desc
+            and el.tag == "meta"
+            and (el.attrs.get("name") or "").strip().lower() == "description"
+        ):
+            desc = el.attrs.get("content") or ""
+        if (
+            not canon
+            and el.tag == "link"
+            and (el.attrs.get("rel") or "").strip().lower() == "canonical"
+        ):
+            href = (el.attrs.get("href") or "").strip()
+            if href:
+                try:
+                    canon = urljoin(base_url, href)
+                except ValueError:
+                    canon = ""
+        if desc and canon:
+            break
+    return desc, canon
+
+
 def select_links(doc: Element, base_url: str) -> List[Tuple[str, int]]:
     """``doc.select("a[href]")`` + ``attr("abs:href")`` in document order.
 

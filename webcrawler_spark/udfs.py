@@ -156,3 +156,32 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def domain_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: domain_of(u) if u is not None else None)
+
+
+META_SCHEMA = StructType(
+    [StructField("description", StringType()), StructField("canonical", StringType())]
+)
+
+
+@F.pandas_udf(META_SCHEMA)
+def page_meta_udf(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
+    """meta[name=description]@content + link[rel=canonical]@abs:href per page
+    (kernel.dom.select_meta; README.md:152 declared-only semantics). Arrow
+    batches; one DOM parse per page."""
+    from .kernel.dom import parse, select_meta
+
+    descs, canons = [], []
+    for u, h in zip(urls, htmls):
+        if h is None:
+            descs.append("")
+            canons.append("")
+            continue
+        if isinstance(h, (bytes, bytearray)):
+            h = bytes(h).decode("utf-8", "replace")
+        try:
+            d, c = select_meta(parse(h), u or "")
+        except Exception:
+            d, c = "", ""
+        descs.append(d)
+        canons.append(c)
+    return pd.DataFrame({"description": descs, "canonical": canons})
