@@ -859,6 +859,58 @@ from orders
 """
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank for frontier prioritization (README.md:20
+    "deduplication and prioritization" — the standard way a crawler derives
+    the frontier's priority field). 3 power iterations, damping 0.85,
+    dangling mass redistributed uniformly; pipeline/graph.py. The oracle
+    unrolls the identical iterations in SQL — an independent computation of
+    the same fixpoint prefix."""
+    from webcrawler_spark.pipeline.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 40).cast("long").alias("src"),
+        (F.col("o_orderkey") % 40).cast("long").alias("dst"),
+    )
+    pr = pagerank(edges, n_iters=3, damping=0.85)
+    return pr.select("node", _e(F.col("pr"), 6).alias("pr_e6"))
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    return f"""
+d{i} as (
+  select coalesce(sum(pr), 0) as dang
+  from pr{i} p left join deg on p.node = deg.src where deg.src is null
+), c{i + 1} as (
+  select e.dst as node, sum(p.pr / deg.outdeg) as contrib
+  from e join pr{i} p on e.src = p.node join deg on e.src = deg.src
+  group by 1
+), pr{i + 1} as (
+  select nodes.node,
+         (1.0 - 0.85) / (select n from nn)
+         + 0.85 * (coalesce(c{i + 1}.contrib, 0)
+                   + (select dang from d{i}) / (select n from nn)) as pr
+  from nodes left join c{i + 1} on nodes.node = c{i + 1}.node
+)"""
+
+
+_PAGERANK_SQL = f"""
+with e as (
+  select distinct (o_custkey % 40)::bigint as src, (o_orderkey % 40)::bigint as dst
+  from orders where (o_custkey % 40) <> (o_orderkey % 40)
+), nodes as (
+  select src as node from e union select dst from e
+), nn as (select count(*)::double as n from nodes),
+deg as (select src, count(*)::double as outdeg from e group by 1),
+pr0 as (select node, 1.0 / (select n from nn) as pr from nodes),
+{_pagerank_iter_sql(0)},
+{_pagerank_iter_sql(1)},
+{_pagerank_iter_sql(2)}
+select node, cast(round(pr * 1000000) as bigint) as pr_e6 from pr3
+"""
+
+
 def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-description + canonical-link extraction (README.md:152 "extract
     title, meta description, canonical link" — declared; the reference's
@@ -2200,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_retry_policy": q_fetch_retry_policy,
         "recrawl_diff": q_recrawl_diff,
         "page_meta": q_page_meta,
+        "host_pagerank": q_host_pagerank,
         "sitemap_seeds": q_sitemap_seeds,
         "text_line_dedup": q_text_line_dedup,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2268,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_retry_policy": _FETCH_RETRY_SQL,
         "recrawl_diff": _RECRAWL_DIFF_SQL,
         "page_meta": _PAGE_META_SQL,
+        "host_pagerank": _PAGERANK_SQL,
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,
         "text_pii_scrub": _PII_SCRUB_SQL,

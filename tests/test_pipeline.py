@@ -623,3 +623,26 @@ def test_vocab_topk_counts_and_tiebreak(docs, ddb):
         "group by 1 order by n desc, tok limit 10"
     ).fetchall()
     assert got == [(t, n) for t, n in exp]
+
+
+def test_pagerank_hand_golden_and_mass_conservation(spark):
+    """3-node chain a->b->c, one iteration, damping 0.85, hand-computed:
+    dangling c redistributes 1/3 uniformly; total mass stays 1."""
+    from webcrawler_spark.pipeline.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    pr = {r["node"]: r["pr"] for r in pagerank(e, n_iters=1).collect()}
+    third, ninth = 1 / 3, 1 / 9
+    assert pr["a"] == pytest.approx(0.05 + 0.85 * ninth)
+    assert pr["b"] == pytest.approx(0.05 + 0.85 * (third + ninth))
+    assert pr["c"] == pytest.approx(0.05 + 0.85 * (third + ninth))
+    assert sum(pr.values()) == pytest.approx(1.0)
+    # more iterations keep total mass at 1 (damping + dangling bookkeeping)
+    pr3 = pagerank(e, n_iters=3).agg(F.sum("pr")).collect()[0][0]
+    assert pr3 == pytest.approx(1.0)
+    # self-loops and duplicate edges are ignored
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "b"), ("b", "c")], "src string, dst string"
+    )
+    pr_dup = {r["node"]: r["pr"] for r in pagerank(e2, n_iters=1).collect()}
+    assert pr_dup == pytest.approx(pr)
