@@ -859,6 +859,47 @@ from orders
 """
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (README.md:146 "Fetch and cache robots.txt per
+    domain; honor disallow/allow and crawl-delay" — fetch declared, parser
+    never shipped): raw bodies → the admission gate's (host, disallow[],
+    crawl_delay_ms) table, all JVM-side (operators/robots.py). Bodies are
+    synthesized per host so the oracle predicts the parse result from the
+    host index alone — comments, a non-star group, document order, and the
+    crawl-delay unit conversion are all genuinely checked."""
+    from webcrawler_spark.operators.robots import parse_robots_txt
+
+    u = _urls(spark, sf_dir).select("host").distinct()
+    i = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    body = F.when(
+        i % 3 == 0,
+        F.lit("User-agent: googlebot\nDisallow: /google-only\n"),
+    ).otherwise(
+        F.concat(
+            F.lit("# synthetic robots\nUser-Agent: *\nDisallow: /admin  # backoffice\nDisallow: /p"),
+            i.cast("string"),
+            F.lit("\nCrawl-delay: "),
+            (i % 7).cast("string"),
+            F.lit("\n\nUser-agent: otherbot\nDisallow: /other\n"),
+        )
+    )
+    return parse_robots_txt(u.select("host", body.alias("body")))
+
+
+_ROBOTS_PARSE_SQL = f"""
+with urls as ({_URLS_SQL}),
+hosts as (
+  select distinct host, regexp_extract(host, 'host(\\d+)', 1)::int as i from urls
+)
+select host,
+       case when i % 3 = 0 then []::varchar[]
+            else ['/admin', '/p' || i] end as disallow,
+       case when i % 3 = 0 then null
+            else cast((i % 7) * 1000 as bigint) end as crawl_delay_ms
+from hosts
+"""
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank for frontier prioritization (README.md:20
     "deduplication and prioritization" — the standard way a crawler derives
@@ -2253,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_diff": q_recrawl_diff,
         "page_meta": q_page_meta,
         "host_pagerank": q_host_pagerank,
+        "robots_parse": q_robots_parse,
         "sitemap_seeds": q_sitemap_seeds,
         "text_line_dedup": q_text_line_dedup,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2322,6 +2364,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_diff": _RECRAWL_DIFF_SQL,
         "page_meta": _PAGE_META_SQL,
         "host_pagerank": _PAGERANK_SQL,
+        "robots_parse": _ROBOTS_PARSE_SQL,
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,
         "text_pii_scrub": _PII_SCRUB_SQL,

@@ -72,3 +72,58 @@ def test_sitemap_entries_limit_order_and_trim(spark):
         (2, "https://a.example.com/2"),
     ]
     assert by_site["b.example.com"] == [(1, "https://b.example.com/only")]
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (README.md:146 — fetch/cache declared; parser fixed here)
+# ---------------------------------------------------------------------------
+
+
+def _parse(spark, bodies):
+    from webcrawler_spark.operators.robots import parse_robots_txt
+
+    df = spark.createDataFrame(bodies, "host string, body string")
+    return {
+        r["host"]: (list(r["disallow"]), r["crawl_delay_ms"])
+        for r in parse_robots_txt(df).collect()
+    }
+
+
+def test_robots_parse_star_group_directives(spark):
+    body = (
+        "# global rules\r\n"
+        "User-Agent: *\n"
+        "Disallow: /admin   # backoffice\n"
+        "Disallow: /tmp\n"
+        "Crawl-delay: 2.5\n"
+        "\n"
+        "User-agent: googlebot\n"
+        "Disallow: /google-only\n"
+    )
+    got = _parse(spark, [("a.example.com", body)])
+    # star group only; document order; comments + CRLF handled; 2.5s -> 2500ms
+    assert got == {"a.example.com": (["/admin", "/tmp"], 2500)}
+
+
+def test_robots_parse_shared_and_empty_groups(spark):
+    body = (
+        "User-agent: googlebot\n"
+        "User-agent: *\n"          # consecutive UA lines share ONE group
+        "Disallow: /x\n"
+        "Disallow:\n"              # empty value: allows everything, dropped
+        "User-agent: bingbot\n"
+        "Disallow: /bing\n"
+    )
+    got = _parse(spark, [("b.example.com", body), ("c.example.com", "# nothing\n")])
+    assert got["b.example.com"] == (["/x"], None)
+    # no star group at all -> unrestricted: empty disallow, null delay
+    assert got["c.example.com"] == ([], None)
+
+
+def test_robots_parse_first_crawl_delay_wins(spark):
+    body = (
+        "User-agent: *\nCrawl-delay: 1\nDisallow: /a\n"
+        "User-agent: *\nCrawl-delay: 9\nDisallow: /b\n"
+    )
+    got = _parse(spark, [("d.example.com", body)])
+    assert got["d.example.com"] == (["/a", "/b"], 1000)

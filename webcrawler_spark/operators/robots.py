@@ -1,0 +1,103 @@
+"""robots.txt parsing: raw per-host bodies → the admission gate's table.
+
+The reference declares "Fetch and cache robots.txt per domain; honor
+disallow/allow and crawl-delay" (/root/reference/README.md:146) but ships no
+parser; the admission gate here (operators/admission.py apply_robots /
+timed_admit) consumes a parsed (host, disallow[], crawl_delay_ms) table.
+This operator closes the gap: it turns a relation of fetched robots.txt
+bodies into that table, entirely with JVM-side column algebra (split +
+posexplode + regex + two windows + one grouped aggregate — no Python).
+
+Semantics (v1, fixed here and by the pytest goldens):
+- comments (``#`` to end of line) stripped; keys case-insensitive; values
+  trimmed; CRLF tolerated.
+- group model: a ``User-agent`` line starts a new group unless the previous
+  directive line was also ``User-agent`` (consecutive UA lines share one
+  group, per the robots.txt spec); blank lines do not break groups.
+- only groups naming ``User-agent: *`` apply (the reference models a single
+  generic crawler identity).
+- ``Disallow`` with an empty value allows everything (dropped); prefix
+  semantics downstream are the gate's concern (admission.py '?query'
+  handling).
+- ``Crawl-delay`` is seconds (fractional ok) → ``crawl_delay_ms`` long; the
+  first one in document order among * groups wins; absent → null.
+- hosts whose body yields no * group produce (host, [], null) — the gate
+  treats them as unrestricted.
+
+Scale shape: one posexplode per body (robots files are small by spec), the
+two windows and the final groupBy all share the host partitioning — a
+single host-keyed shuffle for the whole parse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots_txt(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, disallow array<string> in document order, crawl_delay_ms long)
+    from raw robots.txt bodies (host, body)."""
+    hosts = bodies.select(F.col(host_col).alias("host")).distinct()
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("pos", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    parsed = (
+        lines.select(
+            "host",
+            "pos",
+            F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1))).alias("key"),
+            F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias("val"),
+        )
+        .filter(F.col("key") != "")
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    sec = parsed.withColumn(
+        "_new_sec",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("sec", F.sum("_new_sec").over(w))
+    wsec = Window.partitionBy("host", "sec")
+    star = sec.withColumn(
+        "_star",
+        F.max(
+            F.when((F.col("key") == "user-agent") & (F.col("val") == "*"), 1).otherwise(0)
+        ).over(wsec),
+    ).filter(F.col("_star") == 1)
+    dis = (
+        star.filter((F.col("key") == "disallow") & (F.col("val") != ""))
+        .groupBy("host")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
+            ).alias("disallow")
+        )
+    )
+    delay = (
+        star.filter(F.col("key") == "crawl-delay")
+        .groupBy("host")
+        .agg(F.min(F.struct("pos", "val")).alias("_first"))
+        .select(
+            "host",
+            F.round(F.col("_first.val").cast("double") * 1000).cast("long").alias(
+                "crawl_delay_ms"
+            ),
+        )
+    )
+    return (
+        hosts.join(dis, "host", "left")
+        .join(delay, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("disallow"), F.array().cast("array<string>")).alias(
+                "disallow"
+            ),
+            "crawl_delay_ms",
+        )
+    )
