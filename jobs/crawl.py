@@ -142,6 +142,14 @@ def main() -> int:
     )
     if polite:
         robots_df = spark.read.parquet(args.robots) if args.robots else None
+        if robots_df is not None and "body" in robots_df.columns and (
+            "disallow" not in robots_df.columns
+        ):
+            # raw fetched robots.txt bodies (host, body): parse them into the
+            # gate's (host, disallow[], crawl_delay_ms) table in-flight
+            from webcrawler_spark.operators.robots import parse_robots_txt
+
+            robots_df = parse_robots_txt(robots_df)
         delays_df = None
         if args.timed_politeness:
             if robots_df is None or "crawl_delay_ms" not in robots_df.columns:
