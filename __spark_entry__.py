@@ -1529,6 +1529,25 @@ from toks
 """
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pretokenizer-style piece count per doc (textstats.BPE_PIECE_RE:
+    letter runs / digit runs / other-non-space runs — RE2-safe so the
+    DuckDB twin matches byte-for-byte) vs the whitespace token count: the
+    budget estimator for token-targeted corpus mixes. Pure codegen."""
+    from webcrawler_spark.pipeline.textstats import with_bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return with_bpe_token_count(d).select("doc_id", "n_bpe_tokens")
+
+
+_BPE_TOKENS_SQL = r"""
+select doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))::bigint
+         as n_bpe_tokens
+from documents
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_quality
 
@@ -2278,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_centroid_assign": q_embed_centroid_assign,
         "text_token_stats": q_text_token_stats,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2348,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _IVF_TOPK_SQL,
         "embed_centroid_assign": _CENTROID_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
+        "text_bpe_tokens": _BPE_TOKENS_SQL,
         "text_quality": _QUALITY_SQL,
         "text_langid": _langid_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,

@@ -69,6 +69,26 @@ def with_token_stats(
     )
 
 
+#: GPT-2-pretokenizer-style piece pattern (ASCII approximation, RE2-safe so
+#: the DuckDB twin matches byte-for-byte): runs of letters, runs of digits,
+#: runs of other non-space. No lookahead (RE2 lacks it) and no contraction
+#: splits — those only matter for non-ASCII/apostrophe corpora.
+BPE_PIECE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_bpe_tokens: the subword-tokenizer-facing piece count (what a
+    BPE tokenizer's pretokenizer would emit pieces over), vs the whitespace
+    n_tokens of with_token_stats. Pure codegen (regexp_extract_all + size);
+    the standard budget estimator for token-count-targeted corpus mixes."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), F.lit(0))
+        ).cast("long"),
+    )
+
+
 def _count_in_list(toks: Column, words: Sequence[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
