@@ -1667,6 +1667,62 @@ from documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox resize geometry over decoded dims (multimodal.resize_plan):
+    pure JVM column algebra chained onto the Arrow-batched decode — out dims
+    + scale for a 224×224 target. The pixel resample slots into the same
+    mapInPandas seam (codec libs absent; decode_image_real is the honest
+    stub)."""
+    from webcrawler_spark.pipeline.multimodal import decode_batch, resize_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    out = resize_plan(decode_batch(d), 224, 224)
+    return out.select(
+        "doc_id", "width", "height", "out_w", "out_h",
+        _e(F.col("scale"), 6).alias("scale_e6"),
+    )
+
+
+_MULTIMODAL_RESIZE_SQL = """
+with dec as (
+  select doc_id,
+         (16 + ('0x' || substr(sha256(text), 1, 4))::bigint % 2032)::int as width,
+         (16 + ('0x' || substr(sha256(text), 5, 4))::bigint % 2032)::int as height
+  from documents
+)
+select doc_id, width, height,
+       greatest(1, round(width * least(224.0 / width, 224.0 / height)))::int as out_w,
+       greatest(1, round(height * least(224.0 / width, 224.0 / height)))::int as out_h,
+       cast(round(least(224.0 / width, 224.0 / height) * 1000000) as bigint) as scale_e6
+from dec
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in feature extractor (multimodal.
+    feature_extract_batch): blob → 16-dim array<double>, byte_i(sha256)/255
+    — the real CNN/CLIP-encoder UDF shape (Arrow batches, narrow output
+    feeding cosine_topk / embedding_near_dupes), payload-pure so the oracle
+    recomputes it."""
+    from webcrawler_spark.pipeline.multimodal import feature_extract_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    return feature_extract_batch(d).select("doc_id", "features")
+
+
+_MULTIMODAL_FEATURES_SQL = """
+select doc_id,
+       list_transform(range(16),
+         i -> (('0x' || substr(sha256(text), i * 2 + 1, 2))::bigint) / 255.0
+       ) as features
+from documents
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling (UDTF shape: 1 blob row → 10 frame rows);
     frame digest = sha256(payload || ':' || frame_idx) — SQL-expressible."""
@@ -2303,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "crawl_queue_order": q_crawl_queue_order,
         "crawl_status_counts": q_crawl_status_counts,
@@ -2374,6 +2432,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "multimodal_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+        "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "frame_sample": _frame_sample_sql(),
         "crawl_queue_order": _crawl_queue_order_sql(),
         "crawl_status_counts": _crawl_status_counts_sql(),

@@ -646,3 +646,37 @@ def test_pagerank_hand_golden_and_mass_conservation(spark):
     )
     pr_dup = {r["node"]: r["pr"] for r in pagerank(e2, n_iters=1).collect()}
     assert pr_dup == pytest.approx(pr)
+
+
+def test_resize_plan_geometry(spark):
+    from webcrawler_spark.pipeline.multimodal import resize_plan
+
+    df = spark.createDataFrame(
+        [(1, 448, 224), (2, 100, 200), (3, 1, 3000)], "id long, width int, height int"
+    )
+    got = {r["id"]: (r["out_w"], r["out_h"]) for r in resize_plan(df, 224, 224).collect()}
+    assert got[1] == (224, 112)   # wide: width binds, aspect preserved
+    assert got[2] == (112, 224)   # tall: height binds (upscales allowed)
+    assert got[3] == (1, 224)     # extreme aspect: clamp keeps dims >= 1
+
+
+def test_feature_extract_feeds_similarity(spark):
+    """The fake feature extractor's output plugs straight into the exact
+    cosine top-k: identical payloads must be each other's top hit at cos=1."""
+    from webcrawler_spark.pipeline.multimodal import feature_extract_batch
+    from webcrawler_spark.pipeline.similarity import cosine_topk
+
+    rows = [(1, b"same"), (2, b"same"), (3, b"other")]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    feats = feature_extract_batch(df)
+    assert feats.select(F.size("features")).distinct().collect()[0][0] == 16
+    top = cosine_topk(
+        feats,
+        feats.filter(F.col("doc_id") == 1).select(
+            F.col("doc_id").alias("q_id"), F.col("features").alias("q_vec")
+        ),
+        id_col="doc_id", vec_col="features", k=2,
+    ).collect()
+    best = next(r for r in top if r["rnk"] == 1)
+    # doc 2 (identical payload) is doc 1's top hit at cosine 1
+    assert best["neighbor_id"] == 2 and best["cos"] == pytest.approx(1.0)

@@ -27,7 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -159,5 +161,69 @@ def frame_sample(
                         hashlib.sha256(payload + b":" + str(i).encode()).hexdigest()
                     )
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_sha": shas})
+
+    return df.select(id_col, blob_col).mapInPandas(fn, out_schema)
+
+
+def resize_plan(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving (letterbox) resize geometry: adds out_w, out_h and
+    scale = min(target_w/w, target_h/h), dims clamped to >= 1.
+
+    This is the metadata half of a resize stage — pure JVM column algebra
+    (zero Python, zero shuffle); the pixel resampling itself plugs into the
+    same mapInPandas seam as decode_batch (no codec libs in this sandbox —
+    see decode_image_real). At 100 TB the geometry runs in the scan's
+    codegen stage for free and the resample stage reads only rows whose
+    (out_w, out_h) != (width, height) if pass-through is allowed.
+    """
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    s = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    return (
+        df.withColumn("out_w", F.greatest(F.lit(1), F.round(w * s)).cast("int"))
+        .withColumn("out_h", F.greatest(F.lit(1), F.round(h * s)).cast("int"))
+        .withColumn("scale", s)
+    )
+
+
+FEATURE_DIM = 16
+
+
+def feature_extract_batch(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Deterministic stand-in visual-feature extractor: (id, blob) →
+    (id, features array<double> of ``dim``), feat_i = byte_i(sha256(blob))
+    / 255.0 — a pure function of the payload, so the DuckDB oracle can
+    recompute it, while the Spark-side plumbing (Arrow batches, mapInPandas
+    schema, narrow output feeding the embedding ops) is exactly what a real
+    CNN/CLIP encoder UDF uses. Output plugs straight into
+    similarity.cosine_topk / dedup.embedding_near_dupes.
+    """
+    import hashlib
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf[blob_col]:
+                d = hashlib.sha256(bytes(data)).digest()
+                feats.append([d[i] / 255.0 for i in range(dim)])
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, blob_col).mapInPandas(fn, out_schema)
