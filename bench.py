@@ -54,6 +54,10 @@ HEADLINE = [
     "text_token_stats",
     "text_langid",
     "doc_fingerprint",
+    "vocab_topk",
+    "corpus_split",
+    "recrawl_diff",
+    "host_pagerank",
 ]
 
 

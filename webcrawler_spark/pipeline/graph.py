@@ -57,10 +57,11 @@ def pagerank(
         with_deg = pr.join(deg, pr["node"] == deg["src"], "left").select(
             "node", "pr", "outdeg"
         )
-        dangling = (
+        # dangling mass stays in-plan: a 1-row aggregate broadcast into the
+        # update expression (no driver collect per iteration)
+        dang = (
             with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (
             e.join(with_deg.filter(F.col("outdeg").isNotNull()),
@@ -71,12 +72,16 @@ def pagerank(
         )
         pr = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
                 ).alias("pr"),
             )
             .localCheckpoint(eager=True)
