@@ -989,6 +989,45 @@ from urls
 """
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text harvest (UDTF shape: page → one row per a[href] with its
+    Jsoup-normalized visible text — the ranking/training signal the plain
+    link harvest drops; kernel.dom.select_anchor_texts). Pages constructed
+    so the oracle predicts every row from the url alone: relative-href
+    absolutization, document order, and whitespace collapse inside the
+    anchor are all genuinely checked."""
+    from webcrawler_spark.udfs import ANCHOR_SCHEMA, anchor_texts_fn
+
+    u = _urls(spark, sf_dir).select("url", "host", "o_orderkey")
+    k = F.col("o_orderkey").cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="/next/'),
+        k,
+        F.lit('">  Next \n  order '),
+        k,
+        F.lit(' </a><a href="https://ext.example.com/'),
+        k,
+        F.lit('"><b>ext</b> '),
+        k,
+        F.lit("</a></body></html>"),
+    )
+    return u.select("url", html.alias("html")).mapInPandas(
+        anchor_texts_fn, ANCHOR_SCHEMA
+    )
+
+
+_ANCHOR_TEXTS_SQL = f"""
+with urls as ({_URLS_SQL})
+select url,
+       case p.pos when 0 then 'https://' || host || '/next/' || o_orderkey
+                  else 'https://ext.example.com/' || o_orderkey end as href,
+       case p.pos when 0 then 'Next order ' || o_orderkey
+                  else 'ext ' || o_orderkey end as anchor_text,
+       p.pos
+from urls, (values (0), (1)) p(pos)
+"""
+
+
 def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-GET recrawl resolution (README.md:149 "conditional GETs
     (ETag/If-Modified-Since)", :156 "Skip if content hash unchanged" —
@@ -2371,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_retry_policy": q_fetch_retry_policy,
         "recrawl_diff": q_recrawl_diff,
         "page_meta": q_page_meta,
+        "anchor_texts": q_anchor_texts,
         "host_pagerank": q_host_pagerank,
         "robots_parse": q_robots_parse,
         "sitemap_seeds": q_sitemap_seeds,
@@ -2444,6 +2484,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_retry_policy": _FETCH_RETRY_SQL,
         "recrawl_diff": _RECRAWL_DIFF_SQL,
         "page_meta": _PAGE_META_SQL,
+        "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_pagerank": _PAGERANK_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,

@@ -315,3 +315,19 @@ def test_select_meta_missing_gives_empty():
     # empty href: no canonical
     d, c = select_meta(parse('<link rel="canonical" href="">'), "https://a/x")
     assert c == ""
+
+
+def test_select_anchor_texts_order_and_normalization():
+    from webcrawler_spark.kernel.dom import parse, select_anchor_texts
+
+    html = (
+        '<body><a href="/a">  One&nbsp;  <b>bold</b>\n word </a>'
+        "<a>no href, skipped</a>"
+        '<a href="https://x.example.com/b"></a></body>'
+    )
+    got = select_anchor_texts(parse(html), "https://h.example.com/base/page")
+    # &nbsp; collapses too (Jsoup StringUtil.isActuallyWhitespace includes 160)
+    assert got == [
+        ("https://h.example.com/a", "One bold word", 0),
+        ("https://x.example.com/b", "", 1),
+    ]

@@ -396,6 +396,28 @@ def parse(html: str) -> Document:
     return Document(builder.root)
 
 
+def select_anchor_texts(doc: Element, base_url: str) -> List[Tuple[str, str, int]]:
+    """``a[href]`` with the anchor's visible text: [(abs_href, text, pos)].
+
+    The anchor-text harvest a web-corpus pipeline wants beside the plain
+    link harvest (anchor text is a ranking/training signal the reference's
+    select_links drops). Same element set and ordering as select_links
+    (CrawlerService.java:133-136 semantics); text is the anchor element's
+    Jsoup-normalized ``text()`` (whitespace-collapsed, trimmed)."""
+    out: List[Tuple[str, str, int]] = []
+    pos = 0
+    for el in doc.iter_elements():
+        if el.tag == "a" and "href" in el.attrs:
+            href = el.attrs.get("href") or ""
+            try:
+                abs_href = urljoin(base_url, href.strip())
+            except ValueError:
+                abs_href = ""
+            out.append((abs_href, normalise_whitespace(el.text()).strip(), pos))
+            pos += 1
+    return out
+
+
 def select_meta(doc: Element, base_url: str) -> Tuple[str, str]:
     """First ``meta[name=description]@content`` and
     ``link[rel=canonical]@abs:href`` in document order.

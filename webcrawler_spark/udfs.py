@@ -185,3 +185,41 @@ def page_meta_udf(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
         descs.append(d)
         canons.append(c)
     return pd.DataFrame({"description": descs, "canonical": canons})
+
+
+ANCHOR_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("href", StringType()),
+        StructField("anchor_text", StringType()),
+        StructField("pos", IntegerType()),
+    ]
+)
+
+
+def anchor_texts_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas UDTF shape: pages(url, html) → one row per a[href] with
+    its Jsoup-normalized visible text (kernel.dom.select_anchor_texts) —
+    the anchor-text harvest beside the plain link harvest. One DOM parse
+    per page, Arrow-batched."""
+    from .kernel.dom import parse, select_anchor_texts
+
+    for pdf in batches:
+        urls, hrefs, texts, poss = [], [], [], []
+        for u, h in zip(pdf["url"], pdf["html"]):
+            if h is None:
+                continue
+            if isinstance(h, (bytes, bytearray)):
+                h = bytes(h).decode("utf-8", "replace")
+            try:
+                rows = select_anchor_texts(parse(h), u or "")
+            except Exception:
+                continue
+            for href, text, pos in rows:
+                urls.append(u)
+                hrefs.append(href)
+                texts.append(text)
+                poss.append(pos)
+        yield pd.DataFrame(
+            {"url": urls, "href": hrefs, "anchor_text": texts, "pos": poss}
+        )
