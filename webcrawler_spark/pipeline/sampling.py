@@ -11,9 +11,12 @@ no shuffle at all: every operator here is a narrow map + one aggregation.
 
 At 100 TB this matters twice over: (a) `df.sample()` / `rand()` are
 nondeterministic across retries and partition re-splits (a recomputed task
-would sample different rows — silent train/test leakage); (b) hash-bucket
-membership pushes down as a plain filter, so a 1% sample SCANS 1% of row
-groups when the table is clustered by the key.
+would sample different rows — silent train/test leakage); (b) membership is
+a narrow filter evaluated inside the scan's codegen stage (no shuffle, no
+sort, columns pruned to the key). The computed sha256 bucket itself can't
+prune parquet row groups — materialize it as a partition/bucket column at
+write time (one extra int64 column) when repeated subsample reads should
+scan only their slice.
 
 No reference analogue (the reference has no sampling surface); these are the
 standard corpus-curation ops (C4/Gopher/RefinedWeb pipelines all split and
