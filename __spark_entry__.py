@@ -1587,6 +1587,43 @@ from documents
 """
 
 
+_BM25_TERMS = ["merge", "spark", "vector"]
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring over the document table — the search surface of
+    the Elasticsearch tier the reference indexes into (ElasticRestClient.java;
+    ES's default scorer is BM25). Query-term filter hits the postings before
+    any join; corpus stats (N, avgdl, per-term df) are broadcast 1-row/|q|-row
+    relations; the only data-sized shuffle is the final per-doc sum."""
+    from webcrawler_spark.pipeline.search import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_scores(d, _BM25_TERMS, decimals=None)
+    return out.select("doc_id", "n_hit_terms", _e(F.col("score"), 4).alias("score_e4"))
+
+
+_BM25_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+dl as (select doc_id, len(tk)::bigint as dl from toks),
+stats as (select count(*)::double as n_docs, avg(dl::double) as avgdl from dl),
+post as (select doc_id, t as term, count(*)::bigint as tf
+         from toks, unnest(tk) as u(t)
+         where t in ('merge', 'spark', 'vector') group by 1, 2),
+dfreq as (select term, count(*)::double as df from post group by 1)
+select p.doc_id, count(*)::bigint as n_hit_terms,
+       cast(round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * (p.tf::double * 2.2)
+                      / (p.tf::double + 1.2 * (0.25 + 0.75 * d.dl::double / s.avgdl)))
+                  * 10000) as bigint) as score_e4
+from post p
+join dfreq f using (term)
+join dl d using (doc_id)
+cross join stats s
+group by p.doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_quality
 
@@ -2393,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_centroid_assign": q_embed_centroid_assign,
         "text_token_stats": q_text_token_stats,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "search_bm25": q_search_bm25,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2467,6 +2505,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_centroid_assign": _CENTROID_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_bpe_tokens": _BPE_TOKENS_SQL,
+        "search_bm25": _BM25_SQL,
         "text_quality": _QUALITY_SQL,
         "text_langid": _langid_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,

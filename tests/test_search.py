@@ -1,0 +1,122 @@
+"""BM25 search scoring (pipeline/search.py) vs a pure-Python reference on a
+handcrafted corpus and vs the sf0.001 documents table."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _tokens(text):
+    return [t for t in text.lower().split() if t]
+
+
+def _bm25_ref(corpus, query_terms, k1=1.2, b=0.75):
+    """Textbook BM25 (Robertson & Zaragoza 2009, Lucene idf variant) over a
+    {doc_id: text} dict — the independent model the Spark plan must match."""
+    toks = {d: _tokens(t) for d, t in corpus.items()}
+    n = float(len(corpus))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    terms = sorted({t.lower() for t in query_terms})
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for d, v in toks.items():
+        score, hits = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(v) / avgdl)
+            )
+        if hits:
+            out[d] = (hits, score)
+    return out
+
+
+CORPUS = {
+    1: "spark shuffles data across the cluster",
+    2: "spark spark spark tiny",
+    3: "a very long document about many other things entirely with lots of words "
+       "and not a single query term in sight here at all today",
+    4: "vector search and spark together",
+    5: "nothing relevant",
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(d, t) for d, t in CORPUS.items()], "doc_id long, text string"
+    )
+
+
+def test_bm25_matches_reference(spark, corpus_df):
+    from webcrawler_spark.pipeline.search import bm25_scores
+
+    got = {
+        r["doc_id"]: (r["n_hit_terms"], r["score"])
+        for r in bm25_scores(corpus_df, ["spark", "vector"], decimals=None).collect()
+    }
+    want = _bm25_ref(CORPUS, ["spark", "vector"])
+    assert set(got) == set(want) == {1, 2, 4}
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-9)
+
+
+def test_bm25_ordering_properties(spark, corpus_df):
+    """tf saturation + length normalization sanity: the short spam doc (3×
+    'spark', 4 tokens) outranks the single-mention docs; the doc matching
+    BOTH terms outranks single-term docs of similar length."""
+    from webcrawler_spark.pipeline.search import bm25_topk
+
+    top = bm25_topk(corpus_df, ["spark", "vector"], k=3).collect()
+    assert [r["doc_id"] for r in top][:2] == [4, 2]  # both-terms first, then tf-heavy
+    assert top[0]["n_hit_terms"] == 2
+
+
+def test_bm25_case_and_dedup_of_query_terms(spark, corpus_df):
+    from webcrawler_spark.pipeline.search import bm25_scores
+
+    a = {r["doc_id"]: r["score"] for r in bm25_scores(corpus_df, ["SPARK", "spark"]).collect()}
+    b = {r["doc_id"]: r["score"] for r in bm25_scores(corpus_df, ["spark"]).collect()}
+    assert a == b
+
+
+def test_bm25_no_match_is_empty(spark, corpus_df):
+    from webcrawler_spark.pipeline.search import bm25_scores
+
+    assert bm25_scores(corpus_df, ["zzzunseen"]).count() == 0
+
+
+def test_postings_and_lengths(spark, corpus_df):
+    from webcrawler_spark.pipeline.search import doc_lengths, postings
+
+    p = {(r["term"], r["doc_id"]): r["tf"] for r in postings(corpus_df).collect()}
+    assert p[("spark", 2)] == 3 and p[("spark", 1)] == 1
+    dl = {r["doc_id"]: r["dl"] for r in doc_lengths(corpus_df).collect()}
+    assert dl == {d: len(_tokens(t)) for d, t in CORPUS.items()}
+
+
+def test_bm25_sf0001_matches_duckdb_oracle(spark):
+    """End-to-end on the driver tables: the __spark_entry__ query vs its SQL."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = {
+        (r["doc_id"]): (r["n_hit_terms"], r["score_e4"])
+        for r in entry.q_search_bm25(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{SF_DIR}/documents.parquet'"
+    )
+    want = {r[0]: (r[1], r[2]) for r in con.execute(entry._BM25_SQL).fetchall()}
+    assert got == want and len(got) > 0

@@ -1,0 +1,132 @@
+"""Full-text search scoring over the inverted-doc table: TF postings + BM25.
+
+The reference's storage tier is Elasticsearch (`ElasticRestClient.java`), whose
+default relevance scorer is BM25; the engine's S-ops replace the *storage*
+surface (index/get/scan — `storage.py`, `catalog.py`), and this module
+replaces the *search* surface: given the document table a crawl produced,
+score documents against a term query with the classic BM25 ranking function
+(Robertson & Zaragoza 2009; the Lucene/ES practical scoring function) —
+entirely in DataFrame built-ins, no UDFs.
+
+Scale shape (the 100 TB story):
+- ``postings``: one explode + groupBy(term, doc_id) — map-side combine makes
+  shuffle volume the number of DISTINCT (term, doc) pairs, not token count.
+  Persist this table partitioned/bucketed by term for a standing index; then a
+  query's term filter prunes to the touched buckets only.
+- ``bm25_scores``: the query-term filter is applied to the postings BEFORE any
+  join (the literal IN-list is pushed into the scan), so everything downstream
+  is proportional to the MATCHED postings, not the corpus. Corpus-wide stats
+  (N, avgdl) are a single 1-row aggregate broadcast into the plan; per-term
+  document frequencies are |query| rows, also broadcast. The only data-sized
+  shuffle is the final groupBy(doc_id) over matched postings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textprep import spread, tokens_col
+
+
+def postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Term-frequency postings (term, doc_id, tf) — the inverted index rows.
+
+    One explode + one combiner groupBy. For a standing index, write this out
+    bucketed by ``term`` so query-time term filters prune file groups.
+    """
+    toks = tokens_col(F.col(text_col))
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def doc_lengths(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl): token count per document — includes zero-token docs
+    (computed from the doc table, not the postings, so avgdl is corpus-true)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: Optional[int] = 4,
+) -> DataFrame:
+    """BM25 scores (doc_id, n_hit_terms, score) for every doc matching ≥1
+    query term (lowercased exact-term match, same tokenizer as the rest of
+    the pipeline).
+
+    score(d, q) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))      [Lucene/ES BM25]
+
+    All-matching-docs output (no top-k) keeps the row set deterministic;
+    rank/limit on (score desc, doc_id) downstream for a search page.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    post = postings(df, id_col, text_col).filter(F.col("term").isin(terms))
+    dl = doc_lengths(df, id_col, text_col)
+
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_tfn",
+            (F.col("tf").cast("double") * (k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+            ),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hit_terms"),
+        F.sum(F.col("_idf") * F.col("_tfn")).alias("_score"),
+    )
+    score = F.round(F.col("_score"), decimals) if decimals is not None else F.col("_score")
+    return out.select("doc_id", "n_hit_terms", score.alias("score"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k search results (doc_id, n_hit_terms, score), deterministic
+    tie-break (score desc, doc_id asc). orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    s = bm25_scores(df, query_terms, id_col, text_col, k1, b, decimals=None)
+    return s.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
