@@ -1587,6 +1587,58 @@ from documents
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source ingestion (sources/warc.py): build Common-Crawl-style
+    gzip-member WARC shards from the documents table inside the plan, parse
+    them back with the reader, and emit the recovered record fields. The
+    oracle recomputes every field straight from the documents table, so a
+    hash match proves the reader is the writer's exact inverse (url, ts,
+    HTTP envelope, payload bytes via sha256). Shard grouping is
+    batch-dependent, so per-record outputs exclude the shard offset."""
+    import datetime as _dt
+
+    import pandas as _pd
+
+    from webcrawler_spark.sources.warc import read_warc_bytes, write_warc_bytes
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        base = _dt.datetime(2025, 1, 1)
+        for pdf in batches:
+            recs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                url = f"https://warc.example.com/{int(did)}"
+                ts = (base + _dt.timedelta(seconds=int(did))).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                )
+                recs.append((url, ts, str(text).encode("utf-8")))
+            yield _pd.DataFrame({"content": [write_warc_bytes(recs)]})
+
+    shards = d.mapInPandas(build, "content binary")
+    parsed = read_warc_bytes(shards)
+    return parsed.select(
+        "url",
+        "warc_ts",
+        "http_status",
+        "content_type",
+        "payload_len",
+        F.lower(F.sha2(F.col("payload"), 256)).alias("payload_sha"),
+    )
+
+
+_WARC_SQL = """
+select 'https://warc.example.com/' || doc_id as url,
+       strftime(timestamp '2025-01-01' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ')
+         as warc_ts,
+       200 as http_status,
+       'text/html' as content_type,
+       octet_length(encode(text))::bigint as payload_len,
+       sha256(text) as payload_sha
+from documents
+"""
+
+
 _BM25_TERMS = ["merge", "spark", "vector"]
 
 
@@ -2431,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_bpe_tokens": q_text_bpe_tokens,
         "search_bm25": q_search_bm25,
+        "warc_roundtrip": q_warc_roundtrip,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2506,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_bpe_tokens": _BPE_TOKENS_SQL,
         "search_bm25": _BM25_SQL,
+        "warc_roundtrip": _WARC_SQL,
         "text_quality": _QUALITY_SQL,
         "text_langid": _langid_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
