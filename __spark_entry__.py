@@ -1179,6 +1179,119 @@ group by 1 order by n desc, tok limit 50
 """
 
 
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-aware shard packing (pipeline/sampling.pack_shards): assign docs
+    to ~10k-char shards via a distributed two-level prefix sum (within-bucket
+    windows + 256-row offset table), exactly equal to the sequential greedy
+    packer the oracle computes with a naive global window. Returns per-shard
+    composition (n_docs, sum_chars) — every shard but the last lands within
+    one max-doc of the 10k target."""
+    from webcrawler_spark.pipeline.sampling import pack_shards
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_shards(d, key="doc_id", weight="n_chars", target_weight=10_000)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+_SHARD_PACK_SQL = f"""
+with ordered as (
+  select doc_id, n_chars,
+         coalesce(sum(n_chars) over (
+             order by {_HASH64_SQL.format(x="doc_id::varchar")} % 256, doc_id
+             rows between unbounded preceding and 1 preceding), 0) as cumb
+  from documents
+)
+select cumb // 10000 as shard_id, count(*) as n_docs, sum(n_chars) as sum_chars
+from ordered group by 1
+"""
+
+# Mixture weights (per-mille of the char budget) for the domain-mixture
+# sample: up-weight src0-3, down-weight src4-11, exclude the rest. Kept as a
+# module constant so the Spark query and the DuckDB oracle share one source
+# of truth.
+_MIXTURE_W_PM = {f"src{i}": 150 for i in range(4)} | {f"src{i}": 50 for i in range(4, 12)}
+_MIXTURE_BUDGET = 30_000
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (pipeline/sampling.mixture_sample): per-source
+    keep rates derived from a 30k-char budget and per-mille mixture weights
+    (rate = min(1, budget*w/available)), membership by hash bucket. One tiny
+    per-domain agg + broadcast rate join + narrow filter — the corpus is never
+    shuffled. Returns realized per-source composition."""
+    from webcrawler_spark.pipeline.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = mixture_sample(
+        d, key="doc_id", domain="source", weight="n_chars",
+        weights_pm=_MIXTURE_W_PM, budget=_MIXTURE_BUDGET,
+    )
+    return s.groupBy("source", "rate_pm").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept")
+    )
+
+
+def _mixture_sql() -> str:
+    values = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIXTURE_W_PM.items()))
+    return f"""
+with w(source, w_pm) as (values {values}),
+rates as (
+  select d.source, least(1000, ({_MIXTURE_BUDGET} * w.w_pm) // sum(d.n_chars)) as rate_pm
+  from documents d join w using (source) group by d.source, w.w_pm
+)
+select d.source, r.rate_pm, count(*) as n_kept, sum(d.n_chars) as chars_kept
+from documents d join rates r using (source)
+where {_HASH64_SQL.format(x="doc_id::varchar")} % 1000 < r.rate_pm
+group by 1, 2
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline/decontam.contaminated_docs): docs
+    sharing any word 8-gram with a deterministic pseudo-eval slice
+    (doc_id % 97 == 0). The synthetic corpus has no natural 8-gram overlap, so
+    each eval text is also PLANTED back into the train side under a shifted id
+    (same non-vacuity device as dedup_exact) — the planted copies MUST all be
+    flagged, any natural overlap surfaces too. Eval grams broadcast; corpus
+    side is explode + broadcast semi-join, no data-sized shuffle."""
+    from webcrawler_spark.pipeline.decontam import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0).unionByName(
+        eval_df.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    )
+    flagged = contaminated_docs(train, eval_df, key="doc_id", text="text")
+    return flagged.select("doc_id", "source", "n_chars")
+
+
+_DECONTAM_SQL = f"""
+with train as (
+  select doc_id, text, source, n_chars from documents where doc_id % 97 <> 0
+  union all
+  select doc_id + 2000000 as doc_id, text, source, n_chars
+  from documents where doc_id % 97 = 0
+),
+tg as (
+  select doc_id, source, n_chars,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+                i -> {_HASH64_SQL.format(x="array_to_string(tk[i:i+7], ' ')")}))) as g
+  from (select doc_id, source, n_chars, {_TOKS_SQL} as tk from train)
+  where len(tk) >= 8
+),
+eg as (
+  select distinct unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+                i -> {_HASH64_SQL.format(x="array_to_string(tk[i:i+7], ' ')")}))) as g
+  from (select {_TOKS_SQL} as tk from documents where doc_id % 97 = 0)
+  where len(tk) >= 8
+)
+select distinct tg.doc_id, tg.source, tg.n_chars
+from tg join eg using (g)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with PLANTED duplicates: the raw documents table has no
     byte-identical texts (a vacuous 0==0 green in round 1), so every 10th doc
@@ -2459,6 +2572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "vocab_topk": q_vocab_topk,
+        "shard_pack": q_shard_pack,
+        "domain_mixture": q_domain_mixture,
+        "decontaminate": q_decontaminate,
         "stream_events_windowed": q_stream_events_windowed,
         "set_intersect": q_set_intersect,
         "agg_rollup": q_agg_rollup,
@@ -2537,6 +2653,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _CORPUS_SPLIT_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
+        "shard_pack": _SHARD_PACK_SQL,
+        "domain_mixture": _mixture_sql(),
+        "decontaminate": _DECONTAM_SQL,
         "stream_events_windowed": _STREAM_EVENTS_SQL,
         "set_intersect": _SET_INTERSECT_SQL,
         "agg_rollup": _AGG_ROLLUP_SQL,

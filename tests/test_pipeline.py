@@ -680,3 +680,116 @@ def test_feature_extract_feeds_similarity(spark):
     best = next(r for r in top if r["rnk"] == 1)
     # doc 2 (identical payload) is doc 1's top hit at cosine 1
     assert best["neighbor_id"] == 2 and best["cos"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# shard packing / mixture sampling / decontamination (pipeline/sampling,
+# pipeline/decontam)
+# ---------------------------------------------------------------------------
+
+def test_pack_shards_matches_sequential_packer(docs):
+    """The distributed two-level prefix sum must equal the greedy sequential
+    packer run over the same deterministic (bucket, key) order."""
+    from webcrawler_spark.pipeline.sampling import pack_shards
+
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(
+            docs, key="doc_id", weight="n_chars", target_weight=10_000
+        ).collect()
+    }
+    rows = docs.select("doc_id", "n_chars").collect()
+    ordered = sorted(rows, key=lambda r: (_hash64(str(r["doc_id"])) % 256, r["doc_id"]))
+    cum = 0
+    for r in ordered:
+        assert got[r["doc_id"]] == cum // 10_000
+        cum += r["n_chars"]
+    # every row assigned, schema preserved + shard_id
+    assert len(got) == len(rows)
+
+
+def test_pack_shards_shard_sizes_near_target(docs):
+    """Every shard except the last lands within one max-doc of the target:
+    a boundary doc can spill out of the previous shard (undershoot) or into
+    the next one (overshoot), but never by more than one document."""
+    from webcrawler_spark.pipeline.sampling import pack_shards
+
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    per = (
+        pack_shards(docs, key="doc_id", weight="n_chars", target_weight=10_000)
+        .groupBy("shard_id").agg(F.sum("n_chars").alias("w"))
+        .collect()
+    )
+    last = max(r["shard_id"] for r in per)
+    for r in per:
+        if r["shard_id"] != last:
+            assert 10_000 - max_doc < r["w"] < 10_000 + max_doc
+
+
+def test_mixture_rates_and_membership(docs):
+    from webcrawler_spark.pipeline.sampling import mixture_rates, mixture_sample
+
+    w = {"src0": 600, "src1": 400}
+    budget = 5_000
+    avail = {
+        r["source"]: r["s"]
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    rates = {
+        r["source"]: r["rate_pm"]
+        for r in mixture_rates(docs, "source", "n_chars", w, budget).collect()
+    }
+    assert set(rates) == set(w)  # unweighted domains excluded
+    for s, wpm in w.items():
+        assert rates[s] == min(1000, (budget * wpm) // avail[s])
+
+    kept = mixture_sample(
+        docs, key="doc_id", domain="source", weight="n_chars",
+        weights_pm=w, budget=budget,
+    ).collect()
+    assert kept  # non-vacuous at sf0.001
+    for r in kept:
+        assert r["source"] in w
+        assert _hash64(str(r["doc_id"])) % 1000 < rates[r["source"]]
+
+
+def test_mixture_rate_caps_at_1000(docs):
+    """A budget larger than availability keeps everything (rate capped)."""
+    from webcrawler_spark.pipeline.sampling import mixture_rates
+
+    r = mixture_rates(docs, "source", "n_chars", {"src0": 1000}, 10**9).collect()
+    assert len(r) == 1 and r[0]["rate_pm"] == 1000
+
+
+def test_decontaminate_flags_planted_and_skips_short(spark):
+    from webcrawler_spark.pipeline.decontam import contaminated_docs
+
+    eight = "alpha beta gamma delta epsilon zeta eta theta"
+    eval_df = spark.createDataFrame(
+        [(100, f"intro words {eight} trailing tail")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix {eight} suffix"),          # shares the 8-gram -> flagged
+            (2, "alpha beta gamma delta"),           # <8 tokens -> never flagged
+            (3, "completely unrelated text with eight tokens here total"),
+            (4, f"{eight}"),                         # exactly the 8-gram -> flagged
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in contaminated_docs(train, eval_df).collect()
+    )
+    assert got == [1, 4]
+
+
+def test_decontaminate_case_and_whitespace_normalized(spark):
+    from webcrawler_spark.pipeline.decontam import contaminated_docs
+
+    eval_df = spark.createDataFrame(
+        [(1, "A B C D E F G H")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(2, "x  a\tb c d e F g h  y")], "doc_id long, text string"
+    )
+    assert [r["doc_id"] for r in contaminated_docs(train, eval_df).collect()] == [2]

@@ -1,0 +1,73 @@
+"""Benchmark decontamination: flag training documents that share a word
+n-gram with a held-out evaluation set.
+
+Standard corpus-curation step (GPT-3 appendix C / PaLM / Llama all
+decontaminate pretraining data by n-gram overlap with eval benchmarks): a
+training document is contaminated iff it contains at least one n-token run
+(default n=8) that also appears in any eval document. Documents with fewer
+than n tokens cannot contain an n-gram and are never flagged.
+
+Plan shape at 100 TB: the eval side is benchmark-sized (thousands of docs) —
+its distinct hashed grams broadcast everywhere; the corpus side explodes its
+grams (the unavoidable cost, ~|tokens| rows) into a broadcast semi-join, so
+the only wide op is the final distinct on flagged doc keys. At extreme eval
+sizes, swap the broadcast for a bloom filter built from the eval grams and
+re-check survivors exactly — same join key either way.
+
+Tokenization/gram conventions mirror ``textprep`` (and the DuckDB oracle in
+``__spark_entry__.py``) exactly: tokens = non-empty split(lower(text), '\\s+');
+gram = space-join of n consecutive tokens; gram key = hash64(gram).
+
+No reference analogue (the reference crawler has no training-data surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textprep import hash64, tokens_col
+
+NGRAM_N = 8
+
+
+def ngram_hashes(text: Column, n: int = NGRAM_N) -> Column:
+    """Distinct hash64 keys of all word n-grams of ``text``; empty array when
+    the document has fewer than n tokens. Pure JVM column expression."""
+    tk = tokens_col(text)
+    runs = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        lambda i: hash64(
+            F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)])
+        ),
+    )
+    return F.when(F.size(tk) >= n, F.array_distinct(runs)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def contaminated_docs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Distinct keys of training docs sharing >=1 word n-gram with eval_df.
+
+    Returns one row per contaminated training doc, carrying every non-text
+    column of ``train`` (text is dropped — the flag list is metadata-sized).
+    """
+    eval_grams = (
+        eval_df.select(F.explode(ngram_hashes(F.col(text), n)).alias("g"))
+        .distinct()
+    )
+    train_grams = train.select(
+        *[c for c in train.columns if c != text],
+        F.explode(ngram_hashes(F.col(text), n)).alias("g"),
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g", "left_semi")
+        .drop("g")
+        .dropDuplicates([key])
+    )

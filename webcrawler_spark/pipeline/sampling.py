@@ -25,9 +25,9 @@ subsample this way).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textprep import hash64
@@ -81,4 +81,113 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "tok")
         .limit(k)
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    target_weight: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Token-aware shard packing: assign every row a ``shard_id`` so that
+    consecutive shards each hold ~``target_weight`` units (tokens/chars) in a
+    deterministic global order. This is the training-shard writer's problem:
+    ~equal-token output files regardless of document-length skew.
+
+    Semantics: rows are globally ordered by ``(bucket, key)`` where
+    ``bucket = hash64(key) % n_buckets``; ``shard_id = (prefix-sum of weight
+    BEFORE this row) div target_weight`` — i.e. the exact greedy
+    sequential packer over that order.
+
+    Scale shape: the naive formulation is one global un-partitioned window
+    (a single-task total sort — dead at 10^10 rows). This implements the
+    same function as a distributed two-level prefix sum:
+      1. within-bucket cumulative sums (one shuffle on bucket, n_buckets-way
+         parallel windows);
+      2. per-bucket totals -> prefix offsets (n_buckets rows, driver-scale;
+         the only un-partitioned window runs over those ~256 rows);
+      3. broadcast the offsets back and add.
+    Exactness vs the sequential packer is pinned by the DuckDB oracle, which
+    computes the naive global window over the identical order.
+
+    Division is integral (`div`) to stay exact at sums beyond 2^53 where
+    double-precision floor(a/b) would drift.
+    """
+    kb = hash64(F.col(key).cast("string")) % F.lit(n_buckets)
+    staged = df.withColumn("_bkt", kb).withColumn(
+        "_w", F.col(weight).cast("long")
+    )
+    within = staged.withColumn(
+        "_cum_in",
+        F.sum("_w").over(Window.partitionBy("_bkt").orderBy(key)),
+    )
+    totals = staged.groupBy("_bkt").agg(F.sum("_w").alias("_tot"))
+    off_win = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(off_win), F.lit(0))
+    ).drop("_tot")
+    packed = within.join(F.broadcast(offsets), "_bkt").withColumn(
+        "_cumb", F.col("_off") + F.col("_cum_in") - F.col("_w")
+    )
+    return packed.withColumn(
+        "shard_id", F.expr(f"_cumb div {int(target_weight)}L")
+    ).drop("_bkt", "_w", "_cum_in", "_off", "_cumb")
+
+
+def mixture_rates(
+    df: DataFrame,
+    domain: str,
+    weight: str,
+    weights_pm: Dict[str, int],
+    budget: int,
+) -> DataFrame:
+    """Per-domain keep rates (in per-mille) for a target mixture: given a
+    total ``budget`` of weight units and per-domain mixture weights
+    ``weights_pm`` (per-mille shares of the budget), each domain's rate is
+
+        rate_pm = min(1000, (budget * w_pm) div available_weight)
+
+    — the deterministic integral approximation of target/available. Domains
+    absent from ``weights_pm`` are excluded (rate row absent). One tiny
+    aggregation (|domains| rows) joined against a broadcast literal weight
+    table; no data-sized shuffle.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights_pm.items()), schema=f"{domain} string, w_pm long"
+    )
+    avail = df.groupBy(domain).agg(
+        F.sum(F.col(weight).cast("long")).alias("avail_w")
+    )
+    return avail.join(F.broadcast(wdf), domain).withColumn(
+        "rate_pm",
+        F.least(F.lit(1000).cast("long"), F.expr(f"({int(budget)}L * w_pm) div avail_w")),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    domain: str,
+    weight: str,
+    weights_pm: Dict[str, int],
+    budget: int,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Domain-mixture subsample: keep each row iff its hash bucket falls under
+    its domain's mixture rate (``mixture_rates``). Membership is a pure
+    function of (key, domain totals), so it is stable across reruns and
+    cluster sizes. Plan shape at 100 TB: one small per-domain aggregate, a
+    broadcast join of |domains| rate rows, and a narrow filter — the
+    document-sized relation is never shuffled."""
+    rates = mixture_rates(df, domain, weight, weights_pm, budget)
+    return (
+        df.join(F.broadcast(rates), domain)
+        .filter(hash_bucket(F.col(key).cast("string"), n_buckets) < F.col("rate_pm"))
+        .drop("avail_w", "w_pm")
     )
