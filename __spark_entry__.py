@@ -1292,6 +1292,85 @@ from tg join eg using (g)
 """
 
 
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule battery (textstats.with_gopher_flags):
+    per-doc boolean flags for the published Rae-et-al heuristics (word count,
+    mean word length, symbol ratio, alpha-word share, stopword hits) plus the
+    final keep. All integer-exact JVM expressions — bit-stable at rule
+    boundaries, zero shuffle."""
+    from webcrawler_spark.pipeline.textstats import with_gopher_flags
+
+    d = _t(spark, sf_dir, "documents")
+    # The synthetic vocabulary never emits the Gopher stop list, so raw docs
+    # all fail ok_stopwords (keep would be constant-false — vacuous). PLANT
+    # stopword-augmented copies of every 10th doc so keep genuinely varies
+    # (same non-vacuity device as dedup_exact).
+    planted = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    ).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" the be to of and that have with"))
+    )
+    return with_gopher_flags(d.unionByName(planted)).select(
+        "doc_id", "n_words", "ok_word_count", "ok_mean_len",
+        "ok_symbol_ratio", "ok_alpha_words", "ok_stopwords", "keep",
+    )
+
+
+_GOPHER_SQL = f"""
+with docs as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 3000000 as doc_id,
+         text || ' the be to of and that have with' as text
+  from documents where doc_id % 10 = 0
+),
+tk as (select doc_id, text, {_TOKS_SQL} as tk from docs),
+m as (
+  select doc_id, text, tk,
+         len(tk)::bigint as n,
+         coalesce(list_aggregate(list_transform(tk, t -> length(t)::bigint), 'sum'), 0) as sum_len,
+         (length(text) - length(replace(text, '#', '')))::bigint
+           + len(regexp_extract_all(text, '\\.\\.\\.|…'))::bigint as symbols,
+         len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::bigint as alpha_words,
+         len(list_intersect(list_distinct(tk),
+             ['the','be','to','of','and','that','have','with']))::bigint as stop_hits
+  from tk
+)
+select doc_id, n as n_words,
+       (n >= 50 and n <= 100000) as ok_word_count,
+       (sum_len >= 3*n and sum_len <= 10*n and n > 0) as ok_mean_len,
+       (symbols * 10 <= n) as ok_symbol_ratio,
+       (alpha_words * 10 >= n * 8) as ok_alpha_words,
+       (stop_hits >= 2) as ok_stopwords,
+       ((n >= 50 and n <= 100000) and (sum_len >= 3*n and sum_len <= 10*n and n > 0)
+        and (symbols * 10 <= n) and (alpha_words * 10 >= n * 8)
+        and (stop_hits >= 2)) as keep
+from m
+"""
+
+
+def q_text_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram LM scoring (textstats.unigram_logprob): per-doc
+    mean ln p(token) under the corpus's own MLE unigram distribution — the
+    CCNet-style quality proxy. One token count agg + one token join + one
+    per-doc mean (two shuffles); AQE picks broadcast vs shuffle join by
+    vocabulary size."""
+    from webcrawler_spark.pipeline.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_UNIGRAM_LP_SQL = f"""
+with toks as (select doc_id, unnest({_TOKS_SQL}) as tok from documents),
+counts as (select tok, count(*) as c from toks group by tok),
+tot as (select count(*)::double as n from toks)
+select doc_id, count(*) as n_toks,
+       round(avg(ln(c / (select n from tot))), 4) as avg_logp
+from toks join counts using (tok)
+group by doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with PLANTED duplicates: the raw documents table has no
     byte-identical texts (a vacuous 0==0 green in round 1), so every 10th doc
@@ -2598,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_centroid_assign": q_embed_centroid_assign,
         "text_token_stats": q_text_token_stats,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_gopher_rules": q_text_gopher,
+        "text_unigram_lp": q_text_unigram_lp,
         "search_bm25": q_search_bm25,
         "warc_roundtrip": q_warc_roundtrip,
         "text_quality": q_text_quality,
@@ -2677,6 +2758,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_centroid_assign": _CENTROID_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_bpe_tokens": _BPE_TOKENS_SQL,
+        "text_gopher_rules": _GOPHER_SQL,
+        "text_unigram_lp": _UNIGRAM_LP_SQL,
         "search_bm25": _BM25_SQL,
         "warc_roundtrip": _WARC_SQL,
         "text_quality": _QUALITY_SQL,

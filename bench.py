@@ -53,9 +53,14 @@ HEADLINE = [
     "embed_ivf_topk",
     "text_token_stats",
     "text_langid",
+    "text_gopher_rules",
+    "text_unigram_lp",
     "doc_fingerprint",
     "vocab_topk",
     "corpus_split",
+    "shard_pack",
+    "domain_mixture",
+    "decontaminate",
     "recrawl_diff",
     "host_pagerank",
 ]

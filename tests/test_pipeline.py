@@ -793,3 +793,59 @@ def test_decontaminate_case_and_whitespace_normalized(spark):
         [(2, "x  a\tb c d e F g h  y")], "doc_id long, text string"
     )
     assert [r["doc_id"] for r in contaminated_docs(train, eval_df).collect()] == [2]
+
+
+def test_gopher_flags_each_rule(spark):
+    from webcrawler_spark.pipeline.textstats import with_gopher_flags
+
+    good = "the quick brown fox and that dog have gone with all of them " * 5
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the of and that have be"),              # too few words
+        (3, good + " ##########" * 20),              # symbol ratio blown
+        (4, ("1 2 3 4 5 6 7 8 9 0 " * 6) + "the of"),  # alpha-word share low
+        (5, "zebra quark " * 30),                    # no stopword hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in with_gopher_flags(df, min_words=20).collect()
+    }
+    assert got[1]["keep"]
+    assert not got[2]["ok_word_count"] and not got[2]["keep"]
+    assert not got[3]["ok_symbol_ratio"] and not got[3]["keep"]
+    assert not got[4]["ok_alpha_words"] and not got[4]["keep"]
+    assert not got[5]["ok_stopwords"] and not got[5]["keep"]
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    from webcrawler_spark.pipeline.textstats import with_gopher_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e " * 10),                       # mean len 1 -> too short
+            (2, ("pneumonoultramicroscopics " * 25)),     # mean len 25 -> too long
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_gopher_flags(df, min_words=5).collect()}
+    assert not got[1]["ok_mean_len"] and not got[2]["ok_mean_len"]
+
+
+def test_unigram_logprob_matches_python(docs):
+    import math
+
+    from webcrawler_spark.pipeline.textstats import unigram_logprob
+
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    counts: dict = {}
+    for r in rows:
+        for t in _tokens(r["text"]):
+            counts[t] = counts.get(t, 0) + 1
+    n = float(sum(counts.values()))
+    for r in rows[:50]:
+        toks = _tokens(r["text"])
+        want = sum(math.log(counts[t] / n) for t in toks) / len(toks)
+        assert got[r["doc_id"]]["n_toks"] == len(toks)
+        assert got[r["doc_id"]]["avg_logp"] == pytest.approx(round(want, 4), abs=1e-4)

@@ -26,15 +26,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textprep import hash64, tokens_col
+from .textprep import hash64, spread, tokens_col
 
 NGRAM_N = 8
 
 
-def ngram_hashes(text: Column, n: int = NGRAM_N) -> Column:
-    """Distinct hash64 keys of all word n-grams of ``text``; empty array when
-    the document has fewer than n tokens. Pure JVM column expression."""
-    tk = tokens_col(text)
+def ngram_hashes_from_tokens(tk: Column, n: int = NGRAM_N) -> Column:
+    """Distinct hash64 keys of all word n-grams over a token array; empty
+    array when the document has fewer than n tokens. Pure JVM expression.
+
+    ``tk`` must be a MATERIALIZED column (projected via select/withColumn),
+    not an inline ``tokens_col(text)`` expression: higher-order functions
+    evaluate interpreted without common-subexpression elimination, so an
+    inline tokenizer would re-split the text for every one of the n
+    ``element_at`` references per gram (measured 10x+ slowdown)."""
     runs = F.transform(
         F.sequence(F.lit(1), F.size(tk) - (n - 1)),
         lambda i: hash64(
@@ -59,12 +64,16 @@ def contaminated_docs(
     column of ``train`` (text is dropped — the flag list is metadata-sized).
     """
     eval_grams = (
-        eval_df.select(F.explode(ngram_hashes(F.col(text), n)).alias("g"))
+        eval_df.select(tokens_col(F.col(text)).alias("_tk"))
+        .select(F.explode(ngram_hashes_from_tokens(F.col("_tk"), n)).alias("g"))
         .distinct()
     )
-    train_grams = train.select(
+    train_grams = spread(train).select(
         *[c for c in train.columns if c != text],
-        F.explode(ngram_hashes(F.col(text), n)).alias("g"),
+        tokens_col(F.col(text)).alias("_tk"),
+    ).select(
+        *[c for c in train.columns if c != text],
+        F.explode(ngram_hashes_from_tokens(F.col("_tk"), n)).alias("g"),
     )
     return (
         train_grams.join(F.broadcast(eval_grams), "g", "left_semi")

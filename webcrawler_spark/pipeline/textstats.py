@@ -155,3 +155,108 @@ def with_fingerprint(
     return df.withColumn("exact_fp", F.lower(F.sha2(F.col(text_col), 256))).withColumn(
         "rolling_fp", rolling
     )
+
+
+# Gopher-rule constants (Rae et al. 2021, "Scaling Language Models" §A1.1 —
+# public heuristics; thresholds below are the published ones except the word
+# bounds, parameterized for small test corpora).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Adds the Gopher quality-filter rule flags plus the final ``keep``.
+
+    Rules (each a boolean column; ``keep`` = all pass):
+      ok_word_count   min_words <= n_words <= max_words
+      ok_mean_len     3 <= mean word length <= 10
+      ok_symbol_ratio (#hashes + #ellipses) / n_words <= 0.1
+      ok_alpha_words  >= 80% of words contain an alphabetic character
+      ok_stopwords    >= 2 distinct hits from the 8-word Gopher stop list
+
+    Every flag is a pure JVM column expression over the token array — zero
+    shuffle, zero Python; at 100 TB this is a narrow codegen'd filter stage
+    directly over the scan. Integer-vs-double care: ratios compare as
+    ``count * denom_scale <= threshold_scaled * n`` in exact integer math, so
+    the flags are bit-stable and match the DuckDB oracle exactly (no float
+    rounding at rule boundaries).
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks).cast("long")
+    # total word chars for mean length: 3n <= sum_len <= 10n (integer math)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"#", "")
+    )
+    ellipses = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\.|…"), F.lit(0))
+    )
+    symbols = (hashes + ellipses).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    return (
+        df.withColumn("n_words", n)
+        .withColumn(
+            "ok_word_count", (n >= min_words) & (n <= max_words)
+        )
+        .withColumn(
+            "ok_mean_len",
+            (sum_len >= 3 * n) & (sum_len <= 10 * n) & (n > 0),
+        )
+        .withColumn("ok_symbol_ratio", symbols * 10 <= n)
+        .withColumn("ok_alpha_words", alpha_words * 10 >= n * 8)
+        .withColumn("ok_stopwords", stop_hits >= 2)
+        .withColumn(
+            "keep",
+            F.col("ok_word_count")
+            & F.col("ok_mean_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_alpha_words")
+            & F.col("ok_stopwords"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text", decimals: int = 4
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own MLE
+    unigram model — the CCNet-style LM quality proxy (docs far below the
+    corpus mean read as boilerplate/gibberish). Returns (key, n_toks,
+    avg_logp) with avg_logp = mean over tokens of ln(count(tok)/N), rounded.
+
+    Plan: one token-keyed count aggregation, a join of the exploded corpus
+    back to those counts, and a per-doc mean — two shuffles total. The count
+    side is vocabulary-sized; Spark picks broadcast for small vocabularies
+    and a shuffle join at web scale (both correct, AQE decides). Every token
+    scores (it appeared, so count >= 1) — no smoothing term to drift between
+    engines.
+    """
+    toks = df.select(
+        F.col(key), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = toks.count()
+    scored = toks.join(counts, "tok").select(
+        F.col(key),
+        F.log(F.col("c").cast("double") / F.lit(float(n_total))).alias("lp"),
+    )
+    return scored.groupBy(key).agg(
+        F.count("*").alias("n_toks"),
+        F.round(F.avg("lp"), decimals).alias("avg_logp"),
+    )
