@@ -1292,6 +1292,46 @@ from tg join eg using (g)
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication signal (dedup.dup_span_stats): per-doc
+    share of word 16-grams occurring in >1 doc — the shuffle-friendly
+    suffix-array-dedup stand-in. PLANTED copies of every 10th doc (shifted
+    id) guarantee non-vacuous dup_ratio=1.0 rows; originals stay 0 unless
+    naturally duplicated. Slim (id, gram-hash) explode + gram-keyed count +
+    join back; no window, no all-pairs."""
+    from webcrawler_spark.pipeline.dedup import dup_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 4_000_000
+    )
+    return dup_span_stats(d.unionByName(planted)).select(
+        "doc_id", "n_grams", "n_dup_grams", "dup_ratio"
+    )
+
+
+_DUP_SPANS_SQL = f"""
+with train as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 4000000 as doc_id, text from documents where doc_id % 10 = 0
+),
+tg as (
+  select doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 14),
+                i -> {_HASH64_SQL.format(x="array_to_string(tk[i:i+15], ' ')")}))) as g
+  from (select doc_id, {_TOKS_SQL} as tk from train)
+  where len(tk) >= 16
+),
+counts as (select g, count(*) as n_docs from tg group by g)
+select tg.doc_id, count(*) as n_grams,
+       sum((counts.n_docs >= 2)::bigint) as n_dup_grams,
+       round(sum((counts.n_docs >= 2)::bigint) / count(*), 4) as dup_ratio
+from tg join counts using (g)
+group by tg.doc_id
+"""
+
+
 def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rule battery (textstats.with_gopher_flags):
     per-doc boolean flags for the published Rae-et-al heuristics (word count,
@@ -2671,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_sig": q_dedup_simhash_sig,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_span_stats": q_dup_spans,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_near_dupes": q_embed_near_dupes,
         "embed_ivf_topk": q_embed_ivf_topk,
@@ -2752,6 +2793,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_sig": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_span_stats": _DUP_SPANS_SQL,
         "embed_cosine_topk": _COSINE_TOPK_SQL,
         "embed_near_dupes": _EMBED_NEAR_SQL,
         "embed_ivf_topk": _IVF_TOPK_SQL,

@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "dedup_simhash_sig",
     "dedup_simhash_pairs",
+    "dedup_span_stats",
     "embed_cosine_topk",
     "embed_ivf_topk",
     "text_token_stats",

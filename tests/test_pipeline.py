@@ -849,3 +849,35 @@ def test_unigram_logprob_matches_python(docs):
         want = sum(math.log(counts[t] / n) for t in toks) / len(toks)
         assert got[r["doc_id"]]["n_toks"] == len(toks)
         assert got[r["doc_id"]]["avg_logp"] == pytest.approx(round(want, 4), abs=1e-4)
+
+
+def test_dup_span_stats_planted(spark):
+    from webcrawler_spark.pipeline.dedup import dup_span_stats
+
+    long_a = " ".join(f"w{i}" for i in range(30))          # 30 tokens
+    long_b = " ".join(f"x{i}" for i in range(30))
+    short = "only five little tokens here"
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b), (4, short)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_stats(df).collect()}
+    assert set(got) == {1, 2, 3}          # <16-token doc has no grams
+    assert got[1]["n_grams"] == 15        # 30 - 16 + 1 distinct grams
+    assert got[1]["dup_ratio"] == 1.0 and got[2]["dup_ratio"] == 1.0
+    assert got[3]["dup_ratio"] == 0.0
+
+
+def test_dup_span_stats_partial_overlap(spark):
+    from webcrawler_spark.pipeline.dedup import dup_span_stats
+
+    head = " ".join(f"w{i}" for i in range(20))            # shared 20-token head
+    df = spark.createDataFrame(
+        [(1, head + " unique tail one two three four five six"),
+         (2, head + " other ending seven eight nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_stats(df).collect()}
+    # shared head contributes exactly 5 common 16-grams (positions 1..5)
+    assert got[1]["n_dup_grams"] == 5 and got[2]["n_dup_grams"] == 5
+    assert 0.0 < got[1]["dup_ratio"] < 1.0

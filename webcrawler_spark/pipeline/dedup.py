@@ -579,3 +579,51 @@ def dedup_clusters(
             (F.col("id") == F.col("cluster")).alias("keep"),
         )
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact substring-duplication signal per document: the fraction of a
+    doc's word n-grams (default n=16) that also occur in at least one OTHER
+    document. This is the shuffle-friendly stand-in for suffix-array exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a high dup_ratio marks boilerplate or
+    copied spans even when the whole doc isn't a near-duplicate.
+
+    Returns (id, n_grams, n_dup_grams, dup_ratio); docs with fewer than n
+    tokens have no n-grams and are absent.
+
+    Plan shape at 100 TB: one explode of distinct hashed grams (slim
+    (id, gram) rows), one gram-keyed count aggregation with map-side
+    combine, a join back on the gram key, and a per-doc aggregate — two
+    shuffles on the gram key plus one on the doc key; no window, no
+    all-pairs. The gram-count relation is vocabulary-like (heavy-tailed but
+    bounded by corpus gram mass); AQE handles the join strategy and skew.
+    """
+    from .decontam import ngram_hashes_from_tokens
+    from .textprep import spread, tokens_col
+
+    grams = spread(df).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_tk")
+    ).select(
+        F.col(id_col),
+        F.explode(ngram_hashes_from_tokens(F.col("_tk"), n)).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.count("*").alias("_docs"))
+    return (
+        grams.join(counts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_docs") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), decimals),
+        )
+    )
