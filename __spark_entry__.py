@@ -952,6 +952,65 @@ select node, cast(round(pr * 1000000) as bigint) as pr_e6 from pr3
 """
 
 
+def q_frontier_pr_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END frontier prioritization: host PageRank -> priority buckets
+    -> per-host polite admission -> PR-weighted global budget. This is the
+    composition the reference DESIGNS (README.md:20 "deduplication and
+    prioritization", :55-57 politeness caps) realized Spark-first: the rank
+    table is 40 rows (broadcast), per-host admission is one window, and the
+    global 200-cut is a TakeOrderedAndProject — no global sort, no collect.
+    Priority = decile bucket of (pr_e6 desc, node) so ranking is integer-
+    deterministic in both engines."""
+    from webcrawler_spark.operators.admission import admit, global_cap_admit
+    from webcrawler_spark.pipeline.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 40).cast("long").alias("src"),
+        (F.col("o_orderkey") % 40).cast("long").alias("dst"),
+    )
+    pr = pagerank(edges, n_iters=3, damping=0.85).select(
+        "node", _e(F.col("pr"), 6).alias("pr_e6")
+    )
+    wpr = Window.orderBy(F.desc("pr_e6"), F.col("node"))  # 40 rows — driver-scale
+    prio = pr.withColumn(
+        "prio", ((F.row_number().over(wpr) - F.lit(1)) / F.lit(10)).cast("int")
+    ).select("node", "prio")
+    u = _urls(spark, sf_dir).withColumn(
+        "node", F.regexp_extract("host", r"host(\d+)", 1).cast("long")
+    )
+    u2 = u.join(F.broadcast(prio), "node")
+    admitted, deferred = admit(
+        u2, per_host_budget=8, order_cols=("warc_ts", "rank"), host_col="host"
+    )
+    take, _ = global_cap_admit(
+        admitted, deferred, global_cap=200, order_cols=("prio", "rank"), key="url"
+    )
+    return take.select("url", "host", "prio")
+
+
+_FRONTIER_PR_SQL = f"""
+with urls as ({_URLS_SQL}),
+pr as (select * from ({_PAGERANK_SQL}) t),
+prio as (
+  select node,
+         cast((row_number() over (order by pr_e6 desc, node) - 1) // 10 as int) as prio
+  from pr
+),
+u2 as (
+  select u.url, u.host, u.warc_ts, u.rank, p.prio
+  from urls u
+  join prio p on cast(regexp_extract(u.host, 'host(\\d+)', 1) as bigint) = p.node
+),
+adm as (
+  select *, row_number() over (partition by host order by warc_ts, rank) as a
+  from u2
+)
+select url, host, prio from adm where a <= 8
+order by prio, rank limit 200
+"""
+
+
 def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-description + canonical-link extraction (README.md:152 "extract
     title, meta description, canonical link" — declared; the reference's
@@ -2741,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,
         "anchor_texts": q_anchor_texts,
         "host_pagerank": q_host_pagerank,
+        "frontier_pr_admission": q_frontier_pr_admission,
         "robots_parse": q_robots_parse,
         "sitemap_seeds": q_sitemap_seeds,
         "text_line_dedup": q_text_line_dedup,
@@ -2823,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
         "page_meta": _PAGE_META_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_pagerank": _PAGERANK_SQL,
+        "frontier_pr_admission": _FRONTIER_PR_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,

@@ -64,6 +64,7 @@ HEADLINE = [
     "decontaminate",
     "recrawl_diff",
     "host_pagerank",
+    "frontier_pr_admission",
 ]
 
 

@@ -881,3 +881,42 @@ def test_dup_span_stats_partial_overlap(spark):
     # shared head contributes exactly 5 common 16-grams (positions 1..5)
     assert got[1]["n_dup_grams"] == 5 and got[2]["n_dup_grams"] == 5
     assert 0.0 < got[1]["dup_ratio"] < 1.0
+
+
+def test_frontier_pr_admission_contract(spark):
+    """The PR-prioritized admission keeps: (a) <=8 urls per host, (b) exactly
+    the global 200 budget, (c) a (prio, rank)-prefix — nothing admitted sorts
+    after anything the global cut rejected, (d) per-host FIFO order survives
+    the cut (each host's kept set is a prefix of its per-host admission)."""
+    import __spark_entry__ as entry
+
+    took = entry.q_frontier_pr_admission(spark, SF_DIR).collect()
+    assert len(took) == 200
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in took)
+    assert max(per_host.values()) <= 8
+
+    # recompute the full per-host-admitted set to check the prefix property
+    urls = entry._urls(spark, SF_DIR).collect()
+    ranks = {r["url"]: r["rank"] for r in urls}
+    prio = {r["url"]: r["prio"] for r in took}
+    boundary = max((prio[r["url"]], ranks[r["url"]]) for r in took)
+    from webcrawler_spark.operators.admission import admit
+
+    u = entry._urls(spark, SF_DIR)
+    admitted, _ = admit(u, per_host_budget=8, order_cols=("warc_ts", "rank"),
+                        host_col="host")
+    taken_urls = {r["url"] for r in took}
+    # every per-host-admitted url not taken must sort after the boundary.
+    # prio isn't defined for untaken urls here, but rank alone suffices when
+    # the boundary prio is the max prio (2 at sf0.001/0.01): any untaken url
+    # with smaller (prio, rank) would contradict the oracle-matched cut, so
+    # assert the weaker, computable form: untaken urls of hosts whose taken
+    # rows hit the boundary prio all have rank > boundary rank.
+    for r in admitted.collect():
+        if r["url"] in taken_urls:
+            continue
+        host_taken = [t for t in took if t["host"] == r["host"]]
+        if host_taken and all(t["prio"] == boundary[0] for t in host_taken):
+            assert ranks[r["url"]] > min(ranks[t["url"]] for t in host_taken)
