@@ -502,6 +502,40 @@ where ws + interval '1 day' <= m - interval '2 days'
 """
 
 
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enqueue-dedup (streaming.first_seen): each (user_id,
+    event_type) key is emitted exactly once, on first arrival — the streaming
+    twin of F1's seen-set gate, drained with Trigger.AvailableNow. The key
+    SET is deterministic (= batch distinct, the oracle); which full row wins
+    per key is racy, so only key columns are emitted."""
+    import tempfile
+    import uuid
+
+    from webcrawler_spark.streaming import first_seen
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    fs = first_seen(ev, ["user_id", "event_type"])
+    qname = "stream_first_seen_" + uuid.uuid4().hex[:8]
+    q = (
+        fs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+_STREAM_FIRST_SEEN_SQL = "select distinct user_id, event_type from events"
+
+
 def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState): per-user
     session windows with a 30-min inactivity gap, drained with
@@ -1758,6 +1792,68 @@ from pairs where cos >= 0.95
 """
 
 
+def q_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS (dedup.embedding_dup_clusters): LSH pairs
+    closed under transitivity via large-star/small-star CC. Every 50th vector
+    is planted TWICE (+1M, +2M ids) so identical sketches form genuine
+    3-cliques — the check proves cluster closure, size and canonical-keeper
+    selection, not just pair discovery."""
+    from webcrawler_spark.pipeline.dedup import embedding_dup_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    clones = e.filter(F.col("vec_id") % 50 == 0)
+    planted = e.unionByName(
+        clones.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    ).unionByName(clones.withColumn("vec_id", F.col("vec_id") + 2_000_000))
+    return embedding_dup_clusters(
+        planted, threshold=0.95, n_planes=16, dim=64, max_bucket=1000
+    )
+
+
+_EMBED_CLUSTERS_SQL = f"""
+with recursive base as (
+  select vec_id, list_transform(embedding, x -> x::double) as e from embeddings
+  union all
+  select vec_id + 1000000, list_transform(embedding, x -> x::double)
+  from embeddings where vec_id % 50 = 0
+  union all
+  select vec_id + 2000000, list_transform(embedding, x -> x::double)
+  from embeddings where vec_id % 50 = 0),
+coefs as (
+  select p.p, i.i,
+         (({_HASH64_SQL.format(x="p.p || ':' || i.i")} % 2001) - 1000)::double / 1000.0 as c
+  from range(0, 16) p(p), range(0, 64) i(i)),
+plane as (
+  select b.vec_id, c.p,
+         sum(b.e[c.i + 1] * c.c order by c.i) as dot
+  from base b join coefs c on true
+  group by b.vec_id, c.p),
+sk as (
+  select vec_id, sum(case when dot > 0 then (1 << p) else 0 end)::bigint as sk
+  from plane group by vec_id),
+v0 as (select b.vec_id, b.e, s.sk from base b join sk s using (vec_id)),
+v as (
+  select * from (
+    select *, count(*) over (partition by sk) as _bsz from v0)
+  where _bsz > 1 and _bsz <= 1000),
+pairs as (
+  select l.vec_id as a, r.vec_id as b
+  from v l join v r on l.sk = r.sk and l.vec_id < r.vec_id
+  where round(list_dot_product(l.e, r.e) /
+              (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 4) >= 0.95),
+nbr as (select a as u, b as v from pairs union select b, a from pairs),
+nodes as (select distinct u as id from nbr),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select n.v, reach.r from reach join nbr n on n.u = reach.id),
+lab as (select id, min(r) as cluster from reach group by id),
+sizes as (select cluster, count(*) as cluster_size from lab group by cluster)
+select l.id as vec_id, l.cluster, s.cluster_size, l.id = l.cluster as keep
+from lab l join sizes s using (cluster)
+"""
+
+
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: queries probe only their n_probe=2 nearest
     centroid buckets (recall < 1 by design; the oracle reproduces the same
@@ -2745,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "stream_events_sessions": q_stream_events_sessions,
+        "stream_first_seen": q_stream_first_seen,
         "events_percentiles": q_events_percentiles,
         "events_json_props": q_events_json_props,
         "corpus_split": q_corpus_split,
@@ -2773,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_stats": q_dup_spans,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_near_dupes": q_embed_near_dupes,
+        "embed_dup_clusters": q_embed_dup_clusters,
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_centroid_assign": q_embed_centroid_assign,
         "text_token_stats": q_text_token_stats,
@@ -2830,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "stream_events_sessions": _STREAM_SESSIONS_SQL,
+        "stream_first_seen": _STREAM_FIRST_SEEN_SQL,
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "corpus_split": _CORPUS_SPLIT_SQL,
@@ -2856,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_stats": _DUP_SPANS_SQL,
         "embed_cosine_topk": _COSINE_TOPK_SQL,
         "embed_near_dupes": _EMBED_NEAR_SQL,
+        "embed_dup_clusters": _EMBED_CLUSTERS_SQL,
         "embed_ivf_topk": _IVF_TOPK_SQL,
         "embed_centroid_assign": _CENTROID_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,

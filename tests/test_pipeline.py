@@ -920,3 +920,22 @@ def test_frontier_pr_admission_contract(spark):
         host_taken = [t for t in took if t["host"] == r["host"]]
         if host_taken and all(t["prio"] == boundary[0] for t in host_taken):
             assert ranks[r["url"]] > min(ranks[t["url"]] for t in host_taken)
+
+
+def test_embedding_dup_clusters_transitive_closure(spark):
+    from webcrawler_spark.pipeline.dedup import embedding_dup_clusters
+
+    v = [0.5] * 8
+    w = [x * -1.0 for x in v]
+    rows = [(1, v), (2, v), (3, v), (10, w), (11, w), (20, [1.0] + [0.0] * 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           embedding_dup_clusters(df, n_planes=8, dim=8).collect()}
+    # identical triple forms ONE cluster of 3 with min-id keeper
+    assert {got[i]["cluster"] for i in (1, 2, 3)} == {1}
+    assert got[1]["cluster_size"] == 3 and got[1]["keep"]
+    assert not got[2]["keep"] and not got[3]["keep"]
+    # the opposite-sign pair clusters separately
+    assert got[10]["cluster"] == got[11]["cluster"] == 10
+    # the singleton never appears (no near-dup pair)
+    assert 20 not in got

@@ -183,3 +183,70 @@ def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
     assert expected.exceptAll(got).count() == 0
     n = got.count()
     assert n > 0 and n == expected.count()
+
+
+def test_first_seen_dedups_across_arrival_files(spark, tmp_path):
+    """A key arriving again in a later file must NOT re-emit: the dedup state
+    is the seen-set, retained across micro-batches (F3 retention semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webcrawler_spark.streaming import first_seen
+
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(pa.table({"k": [1, 2, 2], "v": ["a", "b", "c"]}), str(d / "p0.parquet"))
+    pq.write_table(pa.table({"k": [2, 3, 1], "v": ["d", "e", "f"]}), str(d / "p1.parquet"))
+
+    ev = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = first_seen(ev, ["k"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fs_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r["k"] for r in spark.table("fs_test").collect()]
+    assert sorted(rows) == [1, 2, 3]       # each key once, duplicates suppressed
+
+
+def test_first_seen_watermarked_variant_runs(spark, tmp_path):
+    """The state-bounded dropDuplicatesWithinWatermark path produces at least
+    the distinct key set on in-horizon data (exactness within the horizon)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webcrawler_spark.streaming import first_seen
+
+    d = tmp_path / "in"
+    d.mkdir()
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    pq.write_table(
+        pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([t0, t0 + dt.timedelta(minutes=1), t0], pa.timestamp("us", tz="UTC")),
+        }),
+        str(d / "p0.parquet"),
+    )
+    ev = spark.readStream.schema("k long, ts timestamp").parquet(str(d))
+    out = first_seen(ev, ["k"], watermark_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fs_wm_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(r["k"] for r in spark.table("fs_wm_test").collect())
+    assert rows == [1, 2]

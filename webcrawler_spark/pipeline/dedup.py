@@ -627,3 +627,35 @@ def dup_span_stats(
             F.round(F.col("n_dup_grams") / F.col("n_grams"), decimals),
         )
     )
+
+
+def embedding_dup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    dim: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup CLUSTERS: hyperplane-LSH candidate pairs closed
+    under transitivity via large-star/small-star connected components — the
+    embedding-space twin of ``dedup_clusters``. One row per member vector:
+    (id, cluster, cluster_size, keep) with keep = canonical min-id member.
+    Same scale shape as the parts: banded sketch join with a bucket cap,
+    then O(log n) CC rounds of node-keyed shuffles."""
+    pairs = embedding_near_dupes(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_planes=n_planes, dim=dim, max_bucket=max_bucket,
+    )
+    cc = connected_components(pairs, "a", "b")
+    sizes = cc.groupBy("cluster").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "cluster_size",
+            (F.col("id") == F.col("cluster")).alias("keep"),
+        )
+    )

@@ -24,7 +24,7 @@ files; this job incrementally extracts + indexes them with bounded state
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -287,3 +287,31 @@ def run_available_now(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def first_seen(
+    stream: DataFrame,
+    keys: Sequence[str],
+    watermark_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming enqueue-dedup — the streaming twin of the frontier seen-set
+    (F1, `InMemoryLinkQueue.java:36-43`): emit each key exactly once, on
+    first arrival, suppressing every later duplicate.
+
+    Without a watermark the dedup state grows with |distinct keys| — exactly
+    the reference's unbounded in-memory seen set semantics
+    (`InMemoryLinkQueue.java:34`), useful when the key space is bounded.
+    Pass (watermark_col, watermark) to switch to
+    ``dropDuplicatesWithinWatermark``: state evicts keys older than the
+    watermark, which is the only shape that runs forever at crawl scale —
+    re-emission of a key after the horizon is the accepted trade (a re-crawl,
+    not an error).
+
+    Output carries only the key columns, so results are deterministic (which
+    full row arrives first per key is racy; the key set is not).
+    """
+    if watermark_col is not None and watermark is not None:
+        ws = stream.withWatermark(watermark_col, watermark)
+        return ws.dropDuplicatesWithinWatermark(list(keys)).select(*keys)
+    return stream.dropDuplicates(list(keys)).select(*keys)
