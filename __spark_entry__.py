@@ -1697,6 +1697,81 @@ select a, b, hamming from cand where hamming <= {_SIMHASH_MAX_HAMMING}
 """
 
 
+def q_simhash_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap AUDIT beside simhash_pairs ("no silent caps"): a PLANTED hot
+    block — 1,050 copies of doc 0's text — exceeds max_block=1000, so its
+    identical signature's 4 band blocks must each surface in the dropped-
+    block report with their true member counts."""
+    from webcrawler_spark.pipeline.dedup import simhash_dropped_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    hot = (
+        spark.range(1050)
+        .select((F.col("id") + 5_000_000).alias("doc_id"))
+        .crossJoin(F.broadcast(d.filter(F.col("doc_id") == 0).select("text")))
+    )
+    planted = d.select("doc_id", "text").unionByName(hot)
+    return simhash_dropped_blocks(planted, n_bands=4, max_block=1000)
+
+
+def _simhash_dropped_sql() -> str:
+    inner = _simhash_sql().replace("from documents", "from docs", 1)
+    return f"""
+with docs as (
+  select doc_id, text from documents
+  union all
+  select 5000000 + r.range as doc_id,
+         (select text from documents where doc_id = 0) as text
+  from range(1050) r),
+sig as (select * from ({inner}) s),
+blocks as (
+  select doc_id, b.band, (simhash >> (b.band * 16)) & 65535 as blk
+  from sig cross join (values (0), (1), (2), (3)) as b(band))
+select band, blk, count(*)::bigint as n_ids
+from blocks group by 1, 2 having count(*) > 1000
+"""
+
+
+def q_embed_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap audit beside embedding_near_dupes: 1,050 planted copies of
+    vector 0 blow past max_bucket=1000 in their shared sign-sketch bucket;
+    the report must show that bucket with its true size."""
+    from webcrawler_spark.pipeline.dedup import embedding_dropped_buckets
+
+    e = _t(spark, sf_dir, "embeddings")
+    hot = (
+        spark.range(1050)
+        .select((F.col("id") + 5_000_000).alias("vec_id"))
+        .crossJoin(F.broadcast(e.filter(F.col("vec_id") == 0).select("embedding")))
+    )
+    planted = e.select("vec_id", "embedding").unionByName(hot)
+    return embedding_dropped_buckets(planted, n_planes=16, dim=64, max_bucket=1000)
+
+
+_EMBED_DROPPED_SQL = f"""
+with base as (
+  select vec_id, list_transform(embedding, x -> x::double) as e from embeddings
+  union all
+  select 5000000 + r.range as vec_id,
+         (select list_transform(embedding, x -> x::double)
+          from embeddings where vec_id = 0) as e
+  from range(1050) r),
+coefs as (
+  select p.p, i.i,
+         (({_HASH64_SQL.format(x="p.p || ':' || i.i")} % 2001) - 1000)::double / 1000.0 as c
+  from range(0, 16) p(p), range(0, 64) i(i)),
+plane as (
+  select b.vec_id, c.p,
+         sum(b.e[c.i + 1] * c.c order by c.i) as dot
+  from base b join coefs c on true
+  group by b.vec_id, c.p),
+sk as (
+  select vec_id, sum(case when dot > 0 then (1 << p) else 0 end)::bigint as sk
+  from plane group by vec_id)
+select sk, count(*)::bigint as n_ids from sk group by 1 having count(*) > 1000
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -2868,6 +2943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_span_stats": q_dup_spans,
+        "dedup_simhash_dropped": q_simhash_dropped,
+        "embed_dropped_buckets": q_embed_dropped,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_near_dupes": q_embed_near_dupes,
         "embed_dup_clusters": q_embed_dup_clusters,
@@ -2953,6 +3030,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_span_stats": _DUP_SPANS_SQL,
+        "dedup_simhash_dropped": _simhash_dropped_sql(),
+        "embed_dropped_buckets": _EMBED_DROPPED_SQL,
         "embed_cosine_topk": _COSINE_TOPK_SQL,
         "embed_near_dupes": _EMBED_NEAR_SQL,
         "embed_dup_clusters": _EMBED_CLUSTERS_SQL,
