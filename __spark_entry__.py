@@ -1205,6 +1205,57 @@ qualify row_number() over (partition by host order by url) <= 5
 """
 
 
+def q_robots_sitemap_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery FROM robots.txt (RFC 9309 §2.3: ``Sitemap`` is a
+    group-independent record): per-host robots bodies carry two Sitemap
+    directives — one resolvable, one pointing at a never-fetched URL — and
+    the chain robots_sitemaps -> join fetched bodies -> sitemap_entries
+    (cap 3) must yield exactly the resolvable file's first 3 entries per
+    host. The oracle derives the expected seeds without touching robots or
+    XML, so directive extraction, the unfetched-URL drop, and <loc> parsing
+    are all genuinely checked."""
+    from webcrawler_spark.operators.robots import robots_sitemaps
+    from webcrawler_spark.operators.sitemap import sitemap_entries
+
+    u = _urls(spark, sf_dir).select("url", "host").distinct()
+    hosts = u.select("host").distinct()
+    robots_body = F.concat(
+        F.lit("# generated\r\nUser-agent: *\nDisallow: /private\nSitemap: https://"),
+        F.col("host"),
+        F.lit("/sitemap.xml\nSitemap: https://"),
+        F.col("host"),
+        F.lit("/never-fetched.xml"),
+    )
+    discovered = robots_sitemaps(hosts.select("host", robots_body.alias("body")))
+    sm = u.groupBy("host").agg(F.array_sort(F.collect_set("url")).alias("_locs"))
+    fetched = sm.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")).alias("url"),
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(
+                    "_locs", lambda x: F.concat(F.lit("<loc> "), x, F.lit(" </loc>"))
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("html"),
+    )
+    chain = discovered.join(fetched, discovered["sitemap"] == fetched["url"]).select(
+        "url", "html"
+    )
+    return sitemap_entries(chain, limit_per_site=3)
+
+
+_ROBOTS_SITEMAP_CHAIN_SQL = f"""
+with urls as ({_URLS_SQL})
+select host as site, url as loc,
+       row_number() over (partition by host order by url) as rank
+from (select distinct host, url from urls) t
+qualify row_number() over (partition by host order by url) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -2978,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_pr_admission": q_frontier_pr_admission,
         "robots_parse": q_robots_parse,
         "sitemap_seeds": q_sitemap_seeds,
+        "robots_sitemap_chain": q_robots_sitemap_chain,
         "text_line_dedup": q_text_line_dedup,
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
@@ -3065,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_pr_admission": _FRONTIER_PR_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,
+        "robots_sitemap_chain": _ROBOTS_SITEMAP_CHAIN_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,
         "text_pii_scrub": _PII_SCRUB_SQL,
         "text_repetition": _REPETITION_SQL,

@@ -127,3 +127,29 @@ def test_robots_parse_first_crawl_delay_wins(spark):
     )
     got = _parse(spark, [("d.example.com", body)])
     assert got["d.example.com"] == (["/a", "/b"], 1000)
+
+
+def test_robots_sitemaps_directive_extraction(spark):
+    """Sitemap records are group-independent: directives inside AND outside
+    user-agent groups all surface, in document order; comments stripped."""
+    from webcrawler_spark.operators.robots import robots_sitemaps
+
+    body = (
+        "# header comment\r\n"
+        "Sitemap: https://a.test/top.xml\n"
+        "User-agent: googlebot\n"
+        "Disallow: /x\n"
+        "Sitemap: https://a.test/in-group.xml  # trailing\n"
+        "User-agent: *\n"
+        "Sitemap:https://a.test/tight.xml\n"
+        "sitemap: https://a.test/lower.xml\n"
+        "Sitemap:\n"          # empty value dropped
+    )
+    df = spark.createDataFrame([("a.test", body)], "host string, body string")
+    got = [r["sitemap"] for r in robots_sitemaps(df).orderBy("pos").collect()]
+    assert got == [
+        "https://a.test/top.xml",
+        "https://a.test/in-group.xml",
+        "https://a.test/tight.xml",
+        "https://a.test/lower.xml",
+    ]

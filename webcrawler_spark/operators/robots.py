@@ -101,3 +101,32 @@ def parse_robots_txt(
             "crawl_delay_ms",
         )
     )
+
+
+def robots_sitemaps(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, sitemap, pos) for every ``Sitemap:`` directive in each body.
+
+    Per RFC 9309 §2.3 / sitemaps.org, ``Sitemap`` is a group-INDEPENDENT
+    record: it applies regardless of user-agent groups, so unlike
+    ``parse_robots_txt`` no group resolution happens — every directive
+    surfaces, in document order (``pos``), absolute-URL values as given.
+    Comments and CRLF handled identically to the main parser. Same scale
+    shape: one posexplode per (small) body, no shuffle at all — the output
+    is host-local."""
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("pos", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    return (
+        lines.select(
+            "host",
+            "pos",
+            F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1))).alias("key"),
+            F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias("val"),
+        )
+        .filter((F.col("key") == "sitemap") & (F.col("val") != ""))
+        .select("host", F.col("val").alias("sitemap"), "pos")
+    )
