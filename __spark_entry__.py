@@ -2221,6 +2221,54 @@ from m
 """
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality-score deciles WITHOUT a global sort
+    (sampling.quantile_buckets): ntile-over-score is a single-task total
+    sort at corpus scale; the histogram formulation gets the same buckets
+    from one count agg over e4-scaled score bins + a broadcast mapping.
+    Returns per-decile composition (n_docs, score range)."""
+    from webcrawler_spark.pipeline.sampling import quantile_buckets
+    from webcrawler_spark.pipeline.textstats import with_quality
+
+    d = with_quality(_t(spark, sf_dir, "documents"))
+    scored = d.withColumn("score_e4", _e(F.col("quality_score"), 4))
+    return (
+        quantile_buckets(scored, F.col("score_e4"), n_buckets=10)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score_e4").alias("min_e4"),
+            F.max("score_e4").alias("max_e4"),
+        )
+    )
+
+
+_QUALITY_DECILES_SQL = f"""
+with toks as (select doc_id, text, {_TOKS_SQL} as tk from documents),
+m as (select doc_id,
+        len(list_filter(tk, t -> list_contains(['the','a','and','of','to','is','in','that','it'], t)))::double
+          / greatest(len(tk), 1) as stop,
+        (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::double
+          / greatest(length(text), 1) as punct,
+        len(tk)::double as ntok
+      from toks),
+q as (select doc_id,
+       cast(round((0.5 * least(1.0, ntok / 50.0)
+                   + least(0.3, 0.3 * stop * 5.0)
+                   + 0.2 * (1.0 - least(1.0, punct * 10.0))) * 10000) as bigint) as score_e4
+      from m),
+bins as (select score_e4 as bin, count(*) as c from q group by 1),
+mapping as (
+  select bin,
+         least(9, (coalesce(sum(c) over (order by bin rows between unbounded preceding and 1 preceding), 0) * 10)
+                   // (sum(c) over ())) as bucket
+  from bins)
+select mp.bucket, count(*) as n_docs, min(q.score_e4) as min_e4, max(q.score_e4) as max_e4
+from q join mapping mp on q.score_e4 = mp.bin
+group by 1
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_lang_id
 
@@ -3008,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "warc_roundtrip": q_warc_roundtrip,
         "text_quality": q_text_quality,
+        "quality_deciles": q_quality_deciles,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
@@ -3096,6 +3145,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": _BM25_SQL,
         "warc_roundtrip": _WARC_SQL,
         "text_quality": _QUALITY_SQL,
+        "quality_deciles": _QUALITY_DECILES_SQL,
         "text_langid": _langid_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "multimodal_meta": _MULTIMODAL_META_SQL,

@@ -939,3 +939,27 @@ def test_embedding_dup_clusters_transitive_closure(spark):
     assert got[10]["cluster"] == got[11]["cluster"] == 10
     # the singleton never appears (no near-dup pair)
     assert 20 not in got
+
+
+def test_quantile_buckets_matches_sequential_ntile(docs):
+    """Histogram bucketing equals the sequential rank formulation
+    bucket = (rows-strictly-before-my-bin * n) // total, bin-granular."""
+    from webcrawler_spark.pipeline.sampling import quantile_buckets
+
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_buckets(docs, F.col("n_chars"), n_buckets=10).collect()
+    }
+    rows = docs.select("doc_id", "n_chars").collect()
+    total = len(rows)
+    import collections
+    binc = collections.Counter(r["n_chars"] for r in rows)
+    cum, cum_before = 0, {}
+    for b in sorted(binc):
+        cum_before[b] = cum
+        cum += binc[b]
+    for r in rows:
+        want = min(9, (cum_before[r["n_chars"]] * 10) // total)
+        assert got[r["doc_id"]] == want
+    # buckets are monotone in the binned value and roughly balanced
+    assert min(got.values()) == 0 and max(got.values()) == 9

@@ -191,3 +191,43 @@ def mixture_sample(
         .filter(hash_bucket(F.col(key).cast("string"), n_buckets) < F.col("rate_pm"))
         .drop("avail_w", "w_pm")
     )
+
+
+def quantile_buckets(
+    df: DataFrame, bin_col: Column, n_buckets: int = 10
+) -> DataFrame:
+    """Adds ``bucket`` ∈ [0, n_buckets): the row's GLOBAL quantile bucket of
+    an integer-valued histogram bin column — curriculum/quality binning
+    without a global sort.
+
+    ``ntile() OVER (ORDER BY score)`` is the textbook formulation and a
+    single-task total sort at corpus scale. This computes the same buckets
+    (bin-granular: rows sharing a bin always share a bucket) from the bin
+    HISTOGRAM instead: one count aggregation (|bins| rows, driver-scale),
+    an un-partitioned cumulative window over those bins only, and a
+    broadcast join back — the data relation is never sorted or re-shuffled
+    beyond the count's map-side combine.
+
+    bucket(bin) = min(n_buckets-1, (rows-before-bin * n_buckets) div total):
+    exact integer math, deterministic everywhere. ``bin_col`` must be an
+    integer-valued expression (e.g. a scaled-e4 score); granularity of the
+    bins bounds the boundary error.
+    """
+    staged = df.withColumn("_bin", bin_col.cast("long"))
+    counts = staged.groupBy("_bin").agg(F.count("*").alias("_c"))
+    cum_w = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    all_w = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mapping = (
+        counts.withColumn("_cum", F.coalesce(F.sum("_c").over(cum_w), F.lit(0)))
+        .withColumn("_tot", F.sum("_c").over(all_w))
+        .select(
+            "_bin",
+            F.least(
+                F.lit(n_buckets - 1).cast("long"),
+                F.expr(f"(_cum * {int(n_buckets)}) div _tot"),
+            ).alias("bucket"),
+        )
+    )
+    return staged.join(F.broadcast(mapping), "_bin").drop("_bin")
