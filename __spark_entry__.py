@@ -1205,6 +1205,46 @@ qualify row_number() over (partition by host order by url) <= 5
 """
 
 
+def q_url_canon_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param canonicalization (functions.canonicalize_tracking), a
+    dedup-strengthening pass BEYOND reference T3 (which keeps the query
+    verbatim): utm_*/click-id params dropped, survivors byte-sorted. Inputs
+    carry shuffled param order + tracking noise so the op's work is visible:
+    distinct canonical keys < distinct raw urls by construction."""
+    from webcrawler_spark.functions import canonicalize_tracking
+
+    u = _urls(spark, sf_dir)
+    noisy = u.select(
+        F.concat(
+            F.col("url"),
+            F.lit("?utm_source=s"), (F.col("rank") % 3).cast("string"),
+            F.lit("&z="), (F.col("rank") % 5).cast("string"),
+            F.lit("&a="), (F.col("rank") % 2).cast("string"),
+            F.lit("&fbclid=f"), (F.col("rank") % 7).cast("string"),
+        ).alias("url")
+    )
+    return noisy.select("url", canonicalize_tracking(F.col("url")).alias("canon"))
+
+
+_URL_CANON_SQL = f"""
+with urls as ({_URLS_SQL}),
+noisy as (
+  select url || '?utm_source=s' || (rank % 3) || '&z=' || (rank % 5)
+             || '&a=' || (rank % 2) || '&fbclid=f' || (rank % 7) as url
+  from urls),
+parts as (
+  select url, split_part(url, '?', 1) as base,
+         list_sort(list_filter(string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+             p -> p != '' and not regexp_matches(p,
+                 '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)='))) as kept
+  from noisy)
+select url,
+       case when len(kept) > 0 then base || '?' || array_to_string(kept, '&')
+            else base end as canon
+from parts
+"""
+
+
 def q_robots_sitemap_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery FROM robots.txt (RFC 9309 §2.3: ``Sitemap`` is a
     group-independent record): per-host robots bodies carry two Sitemap
@@ -3002,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_admission_salted": q_f2_admission_salted,
         "robots_filter": q_robots_filter,
         "t3_urlnorm": q_t3_urlnorm,
+        "url_canon_tracking": q_url_canon_tracking,
         "t4_url_filter": q_t4_url_filter,
         "p7_domain_host_hash": q_p7_domain_host_hash,
         "h1_content_hash": q_h1_content_hash,
@@ -3093,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "f2_admission_salted": _F2_SALTED_SQL,
         "robots_filter": _ROBOTS_SQL,
         "t3_urlnorm": _T3_SQL,
+        "url_canon_tracking": _URL_CANON_SQL,
         "t4_url_filter": _T4_SQL,
         "p7_domain_host_hash": _P7_SQL,
         "h1_content_hash": _H1_SQL,

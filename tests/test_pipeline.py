@@ -963,3 +963,27 @@ def test_quantile_buckets_matches_sequential_ntile(docs):
         assert got[r["doc_id"]] == want
     # buckets are monotone in the binned value and roughly balanced
     assert min(got.values()) == 0 and max(got.values()) == 9
+
+
+def test_canonicalize_tracking_edge_cases(spark):
+    from webcrawler_spark.functions import canonicalize_tracking
+
+    rows = [
+        (1, "https://a.test/p"),                                   # no query
+        (2, "https://a.test/p?utm_source=x&utm_medium=y"),         # all tracking
+        (3, "https://a.test/p?b=2&a=1"),                           # sort only
+        (4, "https://a.test/p?a=1&fbclid=zzz&b=2"),                # mixed
+        (5, "https://a.test/p?a=1&a=0"),                           # dup keys kept, sorted
+        (6, "https://a.test/p?"),                                  # empty query
+        (7, "https://a.test/p?butm_source=1"),                     # prefix NOT anchored match
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["canon"] for r in
+           df.select("id", canonicalize_tracking(F.col("url")).alias("canon")).collect()}
+    assert got[1] == "https://a.test/p"
+    assert got[2] == "https://a.test/p"
+    assert got[3] == "https://a.test/p?a=1&b=2"
+    assert got[4] == "https://a.test/p?a=1&b=2"
+    assert got[5] == "https://a.test/p?a=0&a=1"
+    assert got[6] == "https://a.test/p"
+    assert got[7] == "https://a.test/p?butm_source=1"

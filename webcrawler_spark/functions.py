@@ -104,3 +104,33 @@ def parse_host(url: Column) -> Column:
     """parse_url(url, 'HOST') — exact equivalent of URI.getHost for the
     well-formed URLs the engine emits (WebPageProcessor.java:230-236)."""
     return F.parse_url(url, F.lit("HOST"))
+
+
+# query-parameter canonicalization: tracking params the ad/analytics
+# ecosystem appends that never change page identity. Public, stable list
+# (utm_* per Google Analytics docs; click ids per the respective platforms).
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)="
+
+
+def canonicalize_tracking(url: Column) -> Column:
+    """Dedup-strengthening URL canonicalization BEYOND the reference's T3
+    normalizer (which keeps the query verbatim, `CrawlerService.java:222-260`
+    — this op is therefore a separate pipeline pass, never part of the
+    reference-parity crawl path): drop known tracking parameters and sort
+    the surviving query params byte-wise, so `?b=2&a=1&utm_source=x` and
+    `?a=1&b=2` collapse to one seen-set key.
+
+    Pure JVM column algebra (split / filter / array_sort / rejoin) — a
+    narrow map suited to the frontier's hot path. Fragments are assumed
+    already stripped (T3 runs first)."""
+    base = F.substring_index(url, "?", 1)
+    qs = F.regexp_extract(url, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
