@@ -68,6 +68,12 @@ def main() -> int:
         help="continue a crawl stopped via --stop-file from its committed "
         "round boundary (same --state-dir, same entry/config)",
     )
+    ap.add_argument(
+        "--expire-keep", type=int, default=None,
+        help="after the crawl, expire old table snapshots keeping the last N "
+        "versions per table (the committed version always survives); a deep "
+        "crawl otherwise stores one copy of frontier/url_seen/docs per round",
+    )
     args = ap.parse_args()
 
     from webcrawler_spark.config import CrawlConfig
@@ -222,6 +228,9 @@ def main() -> int:
         "state_dir": args.state_dir,
         "stopped": res.stopped,
     }
+    if args.expire_keep is not None:
+        expired = store.expire_snapshots(keep_last=args.expire_keep)
+        summary["expired_snapshots"] = {t: len(v) for t, v in expired.items()}
     print(json.dumps(summary))
     spark.stop()
     return 0

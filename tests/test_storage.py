@@ -156,3 +156,43 @@ def test_count_table_missing_raises(tmp_path):
     store = SnapshotStore(str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):
         store.count_table("docs", 3)
+
+
+def test_expire_snapshots_keeps_committed_and_last_k(spark, tmp_path):
+    from webcrawler_spark.storage import Manifest, SnapshotStore
+
+    st = SnapshotStore(str(tmp_path / "s"))
+    df = spark.range(10).toDF("x")
+    for v in range(5):
+        st.write_table(df, "frontier", v)
+    # commit an OLD version (simulates resume pin) then expire keeping 2
+    m = Manifest(committed_round=1, tables={"frontier": 1})
+    st.commit(m)
+    expired = st.expire_snapshots(keep_last=2)
+    assert expired == {"frontier": [0, 2]}          # keeps v3, v4 (last 2) + v1 (committed)
+    assert st.list_versions("frontier") == [1, 3, 4]
+    # committed version still readable
+    assert st.read_committed(spark, "frontier").count() == 10
+
+
+def test_compact_table_preserves_rows_and_commits_new_version(spark, tmp_path):
+    import glob
+
+    from webcrawler_spark.storage import Manifest, SnapshotStore
+
+    st = SnapshotStore(str(tmp_path / "s"))
+    df = spark.range(1000).toDF("x").repartition(16)
+    st.write_table(df, "docs", 0)
+    st.commit(Manifest(committed_round=0, tables={"docs": 0}))
+    assert len(glob.glob(f"{st.root}/docs/v=0/*.parquet")) == 16
+
+    new = st.compact_table(spark, "docs", target_rows_per_file=600)
+    assert new == 1
+    files = glob.glob(f"{st.root}/docs/v=1/*.parquet")
+    assert len(files) == 2                            # ceil(1000/600)
+    got = st.read_committed(spark, "docs")
+    assert got.count() == 1000
+    assert sorted(r["x"] for r in got.collect()) == list(range(1000))
+    # old version intact until expiry, then removed
+    assert st.list_versions("docs") == [0, 1]
+    assert st.expire_snapshots(keep_last=1) == {"docs": [0]}

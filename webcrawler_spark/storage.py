@@ -112,6 +112,76 @@ class SnapshotStore:
             return None
         return self.read_table(spark, table, m.tables[table])
 
+    # -- lifecycle (Iceberg expire_snapshots / rewrite_data_files twins) -------
+    def list_versions(self, table: str) -> list[int]:
+        d = os.path.join(self.root, table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v=") and not name.endswith("_tmp"):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def expire_snapshots(self, keep_last: int = 2) -> Dict[str, list]:
+        """Delete old table versions, Iceberg ``expire_snapshots`` style:
+        per table, keep the newest ``keep_last`` versions AND always the
+        manifest-committed one (resume safety — the committed version is
+        never expired regardless of age or keep_last). Returns
+        {table: [expired versions]}. A long crawl otherwise accumulates one
+        full copy of frontier/url_seen/docs per round — at 10^10 urls that
+        is the dominant storage cost, so expiry is part of the round loop's
+        ops story, not an afterthought."""
+        m = self.load_manifest()
+        committed = m.tables if m else {}
+        expired: Dict[str, list] = {}
+        for name in os.listdir(self.root):
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            versions = self.list_versions(name)
+            keep = set(versions[-max(keep_last, 1):])
+            if name in committed:
+                keep.add(committed[name])
+            drop = [v for v in versions if v not in keep]
+            for v in drop:
+                shutil.rmtree(self._table_dir(name, v))
+            if drop:
+                expired[name] = drop
+        return expired
+
+    def compact_table(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_rows_per_file: int = 5_000_000,
+    ) -> int:
+        """Rewrite the committed version of ``table`` into few large files
+        (Iceberg ``rewrite_data_files`` twin) and commit the rewrite as a new
+        version. Incremental appends leave a small-files problem — every
+        round adds part files, and at scale scan planning + open() overhead
+        grows with file count, not bytes. Returns the new committed version;
+        the old version stays on disk until ``expire_snapshots``.
+
+        Row-preserving by construction (coalesce only merges partitions); the
+        file count is ceil(rows / target_rows_per_file) with rows read from
+        parquet footers (no cluster pass)."""
+        m = self.load_manifest()
+        if m is None or table not in m.tables:
+            raise FileNotFoundError(f"table {table!r} has no committed version")
+        cur = m.tables[table]
+        rows = self.count_table(table, cur)
+        n_files = max(1, -(-rows // target_rows_per_file))
+        df = self.read_table(spark, table, cur).coalesce(n_files)
+        new = max(self.list_versions(table)) + 1
+        self.write_table(df, table, new)
+        m.tables[table] = new
+        self.commit(m)
+        return new
+
 
 def reset(store: SnapshotStore) -> None:
     """LinkQueue.init() semantics at table level (F4 —
