@@ -1205,6 +1205,49 @@ qualify row_number() over (partition by host order by url) <= 5
 """
 
 
+def q_refresh_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (operators/recrawl.refresh_schedule):
+    4-fetch histories per url with deterministic MODIFIED placement; stable
+    urls back off exponentially (streak-doubled interval, capped), changed
+    urls reset. The oracle reproduces the exact streak/interval/next-fetch
+    math independently."""
+    from webcrawler_spark.operators.recrawl import refresh_schedule
+
+    u = _urls(spark, sf_dir).select("url", "warc_ts", "rank").filter(
+        F.col("rank") % 7 == 0
+    )
+    rounds = spark.range(4).select(F.col("id").alias("r"))
+    hist = u.crossJoin(rounds).select(
+        "url",
+        F.expr("timestampadd(DAY, int(r), cast(warc_ts as timestamp))").alias("fetch_ts"),
+        F.when((F.col("rank") + F.col("r")) % 3 == 0, F.lit("MODIFIED"))
+        .otherwise(F.lit("NOT_MODIFIED"))
+        .alias("outcome"),
+    )
+    return refresh_schedule(hist, base_ms=3_600_000)
+
+
+_REFRESH_SCHEDULE_SQL = f"""
+with urls as (select * from ({_URLS_SQL}) u where rank % 7 = 0),
+hist as (
+  select url,
+         warc_ts::timestamp + (r.range * interval '1 day') as fetch_ts,
+         case when (rank + r.range) % 3 = 0 then 'MODIFIED' else 'NOT_MODIFIED' end as outcome
+  from urls cross join range(4) r),
+lm as (
+  select url, max(case when outcome = 'MODIFIED' then fetch_ts end) as _lm
+  from hist group by url),
+per as (
+  select h.url, max(h.fetch_ts) as last_ts,
+         sum(case when lm._lm is null or h.fetch_ts > lm._lm then 1 else 0 end)::bigint as streak
+  from hist h join lm using (url) group by h.url)
+select url, last_ts, streak,
+       least(2592000000, 3600000 * (1::bigint << least(streak, 30)::int))::bigint as interval_ms,
+       (epoch_ms(last_ts) + least(2592000000, 3600000 * (1::bigint << least(streak, 30)::int)))::bigint as next_fetch_ms
+from per
+"""
+
+
 def q_url_canon_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-param canonicalization (functions.canonicalize_tracking), a
     dedup-strengthening pass BEYOND reference T3 (which keeps the query
@@ -3113,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_lifecycle": q_catalog_lifecycle,
         "fetch_retry_policy": q_fetch_retry_policy,
         "recrawl_diff": q_recrawl_diff,
+        "refresh_schedule": q_refresh_schedule,
         "page_meta": q_page_meta,
         "anchor_texts": q_anchor_texts,
         "host_pagerank": q_host_pagerank,
@@ -3203,6 +3247,7 @@ def oracle_sql() -> dict[str, str]:
         "catalog_lifecycle": _CATALOG_LIFECYCLE_SQL,
         "fetch_retry_policy": _FETCH_RETRY_SQL,
         "recrawl_diff": _RECRAWL_DIFF_SQL,
+        "refresh_schedule": _REFRESH_SCHEDULE_SQL,
         "page_meta": _PAGE_META_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "host_pagerank": _PAGERANK_SQL,

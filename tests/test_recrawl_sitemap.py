@@ -153,3 +153,29 @@ def test_robots_sitemaps_directive_extraction(spark):
         "https://a.test/tight.xml",
         "https://a.test/lower.xml",
     ]
+
+
+def test_refresh_schedule_backoff_and_reset(spark):
+    import datetime as dt
+
+    from webcrawler_spark.operators.recrawl import refresh_schedule
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # url A: modified on fetch 2 of 4 -> streak 2 (fetches 3, 4)
+    for i, out in enumerate(["NOT_MODIFIED", "MODIFIED", "NOT_MODIFIED", "NOT_MODIFIED"]):
+        rows.append(("A", t0 + dt.timedelta(days=i), out))
+    # url B: never modified over 5 fetches -> streak 5
+    for i in range(5):
+        rows.append(("B", t0 + dt.timedelta(days=i), "NOT_MODIFIED"))
+    # url C: modified on the LAST fetch -> streak 0, interval = base
+    rows += [("C", t0, "NOT_MODIFIED"), ("C", t0 + dt.timedelta(days=1), "MODIFIED")]
+    df = spark.createDataFrame(rows, "url string, fetch_ts timestamp, outcome string")
+    got = {r["url"]: r for r in refresh_schedule(df, base_ms=1000, max_ms=16_000).collect()}
+    assert got["A"]["streak"] == 2 and got["A"]["interval_ms"] == 4000
+    assert got["B"]["streak"] == 5 and got["B"]["interval_ms"] == 16_000  # capped (32k -> 16k)
+    assert got["C"]["streak"] == 0 and got["C"]["interval_ms"] == 1000
+    import calendar
+    last = dt.datetime(2026, 1, 2)
+    want_ms = int(calendar.timegm(last.timetuple()) * 1000) + 1000
+    assert got["C"]["next_fetch_ms"] == want_ms

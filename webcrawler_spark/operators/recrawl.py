@@ -62,3 +62,55 @@ def recrawl_diff(
 def fetch_set(diff: DataFrame) -> DataFrame:
     """The slice the parse/index job actually processes: NEW + MODIFIED."""
     return diff.filter(F.col("status").isin(NEW, MODIFIED)).select("url", "cur_hash")
+
+
+def refresh_schedule(
+    history: DataFrame,
+    base_ms: int = 3_600_000,
+    max_ms: int = 30 * 24 * 3_600_000,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    outcome_col: str = "outcome",
+) -> DataFrame:
+    """Adaptive recrawl scheduling from per-url fetch history — the policy
+    layer above ``recrawl_diff`` (the classic incremental-crawl heuristic,
+    e.g. Cho & Garcia-Molina 2003: pages that keep changing get refetched
+    sooner, stable pages back off exponentially).
+
+    ``history``: (url, fetch_ts, outcome) with outcome 'MODIFIED' or
+    'NOT_MODIFIED' per past fetch. Policy, exactly:
+      streak   = fetches strictly after the url's last MODIFIED fetch
+                 (all fetches if it never changed)
+      interval = min(max_ms, base_ms * 2^min(streak, 30))
+      next_ts  = last fetch_ts + interval
+    Returns (url, last_ts, streak, interval_ms, next_fetch_ts).
+
+    Plan: one url-keyed aggregate for the last-modified timestamp, a join
+    back (same key — the exchange is reused, no second shuffle of the
+    history), and a second url-keyed aggregate. Deterministic integer math
+    throughout.
+    """
+    lm = history.groupBy(url_col).agg(
+        F.max(F.when(F.col(outcome_col) == "MODIFIED", F.col(ts_col))).alias("_lm")
+    )
+    joined = history.join(lm, url_col)
+    per = joined.groupBy(url_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.sum(
+            F.when(
+                F.col("_lm").isNull() | (F.col(ts_col) > F.col("_lm")), 1
+            ).otherwise(0)
+        ).cast("long").alias("streak"),
+    )
+    interval = F.least(
+        F.lit(int(max_ms)).cast("long"),
+        F.lit(int(base_ms)).cast("long")
+        * F.expr("shiftleft(1L, int(least(streak, 30)))"),
+    )
+    return per.select(
+        F.col(url_col),
+        "last_ts",
+        "streak",
+        interval.alias("interval_ms"),
+        (F.unix_millis(F.col("last_ts")) + interval).alias("next_fetch_ms"),
+    )
