@@ -1475,6 +1475,33 @@ group by 1, 2
 """
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture PLANNING view (sampling.mixture_rates): with a budget far
+    above availability, downsampled sources get a sub-1000 rate while
+    over-demanded ones cap at 1000 and carry epochs > 1 — the repeat factor
+    a multi-epoch data mix needs (books/wiki-style upsampling). Budget 10x
+    the corpus guarantees both regimes appear."""
+    from webcrawler_spark.pipeline.sampling import mixture_rates
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_rates(
+        d, domain="source", weight="n_chars",
+        weights_pm=_MIXTURE_W_PM, budget=1_500_000,
+    ).select("source", "avail_w", "rate_pm", "epochs")
+
+
+def _mixture_plan_sql() -> str:
+    values = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIXTURE_W_PM.items()))
+    return f"""
+with w(source, w_pm) as (values {values}),
+a as (select source, sum(n_chars)::bigint as avail_w from documents group by source)
+select a.source, a.avail_w,
+       least(1000, (1500000 * w.w_pm) // a.avail_w)::bigint as rate_pm,
+       greatest(1, (1500000 * w.w_pm + a.avail_w * 1000 - 1) // (a.avail_w * 1000))::bigint as epochs
+from a join w using (source)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline/decontam.contaminated_docs): docs
     sharing any word 8-gram with a deterministic pseudo-eval slice
@@ -3107,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "shard_pack": q_shard_pack,
         "domain_mixture": q_domain_mixture,
+        "mixture_plan": q_mixture_plan,
         "decontaminate": q_decontaminate,
         "stream_events_windowed": q_stream_events_windowed,
         "set_intersect": q_set_intersect,
@@ -3200,6 +3228,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _VOCAB_TOPK_SQL,
         "shard_pack": _SHARD_PACK_SQL,
         "domain_mixture": _mixture_sql(),
+        "mixture_plan": _mixture_plan_sql(),
         "decontaminate": _DECONTAM_SQL,
         "stream_events_windowed": _STREAM_EVENTS_SQL,
         "set_intersect": _SET_INTERSECT_SQL,

@@ -987,3 +987,24 @@ def test_canonicalize_tracking_edge_cases(spark):
     assert got[5] == "https://a.test/p?a=0&a=1"
     assert got[6] == "https://a.test/p"
     assert got[7] == "https://a.test/p?butm_source=1"
+
+
+def test_mixture_epochs_over_demand(docs):
+    """Budget above availability: rate caps at 1000 and epochs carries the
+    repeat factor (ceil of target/available)."""
+    from webcrawler_spark.pipeline.sampling import mixture_rates
+
+    avail = {
+        r["source"]: r["s"]
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    budget = 50_000
+    r = {
+        x["source"]: x
+        for x in mixture_rates(docs, "source", "n_chars",
+                               {"src0": 900, "src1": 100}, budget).collect()
+    }
+    t0 = budget * 900 // 1000
+    assert r["src0"]["rate_pm"] == 1000                       # over-demanded
+    assert r["src0"]["epochs"] == -(-t0 // avail["src0"]) > 1
+    assert r["src1"]["rate_pm"] < 1000 and r["src1"]["epochs"] == 1

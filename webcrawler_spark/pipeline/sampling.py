@@ -164,9 +164,22 @@ def mixture_rates(
     avail = df.groupBy(domain).agg(
         F.sum(F.col(weight).cast("long")).alias("avail_w")
     )
-    return avail.join(F.broadcast(wdf), domain).withColumn(
-        "rate_pm",
-        F.least(F.lit(1000).cast("long"), F.expr(f"({int(budget)}L * w_pm) div avail_w")),
+    return (
+        avail.join(F.broadcast(wdf), domain)
+        .withColumn(
+            "rate_pm",
+            F.least(F.lit(1000).cast("long"), F.expr(f"({int(budget)}L * w_pm) div avail_w")),
+        )
+        # repeat factor when the target EXCEEDS availability: the standard
+        # data-mixture answer is epochs > 1 (upsample by repetition), e.g.
+        # multi-epoch books/wiki in public LM mixes. ceil via integer math.
+        .withColumn(
+            "epochs",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"({int(budget)}L * w_pm + avail_w * 1000 - 1) div (avail_w * 1000)"),
+            ),
+        )
     )
 
 
@@ -189,7 +202,7 @@ def mixture_sample(
     return (
         df.join(F.broadcast(rates), domain)
         .filter(hash_bucket(F.col(key).cast("string"), n_buckets) < F.col("rate_pm"))
-        .drop("avail_w", "w_pm")
+        .drop("avail_w", "w_pm", "epochs")
     )
 
 
