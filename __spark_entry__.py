@@ -2299,6 +2299,42 @@ group by p.doc_id
 """
 
 
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional postings (search.phrase_match):
+    every 20th doc gets the phrase PLANTED verbatim, every 30th a decoy with
+    the same terms non-consecutive (must NOT count as a match). The oracle
+    never builds postings — it scans token triples directly — so the
+    rebased-position-intersection algorithm is genuinely cross-checked."""
+    from webcrawler_spark.pipeline.search import phrase_match
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 20 == 0, F.lit(" alpha beta gamma")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 30 == 0, F.lit(" alpha x beta y gamma")).otherwise(F.lit("")),
+        ),
+    )
+    return phrase_match(planted, ["alpha", "beta", "gamma"])
+
+
+_SEARCH_PHRASE_SQL = f"""
+with docs as (
+  select doc_id,
+         text || case when doc_id % 20 = 0 then ' alpha beta gamma' else '' end
+              || case when doc_id % 30 = 0 then ' alpha x beta y gamma' else '' end as text
+  from documents),
+toks as (select doc_id, {_TOKS_SQL} as tk from docs),
+m as (
+  select doc_id,
+         len(list_filter(range(1, len(tk) - 1),
+             i -> tk[i] = 'alpha' and tk[i+1] = 'beta' and tk[i+2] = 'gamma'))::bigint as n_matches
+  from toks)
+select doc_id, n_matches from m where n_matches > 0
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_quality
 
@@ -3166,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": q_text_gopher,
         "text_unigram_lp": q_text_unigram_lp,
         "search_bm25": q_search_bm25,
+        "search_phrase": q_search_phrase,
         "warc_roundtrip": q_warc_roundtrip,
         "text_quality": q_text_quality,
         "quality_deciles": q_quality_deciles,
@@ -3258,6 +3295,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_rules": _GOPHER_SQL,
         "text_unigram_lp": _UNIGRAM_LP_SQL,
         "search_bm25": _BM25_SQL,
+        "search_phrase": _SEARCH_PHRASE_SQL,
         "warc_roundtrip": _WARC_SQL,
         "text_quality": _QUALITY_SQL,
         "quality_deciles": _QUALITY_DECILES_SQL,

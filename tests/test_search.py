@@ -120,3 +120,44 @@ def test_bm25_sf0001_matches_duckdb_oracle(spark):
     )
     want = {r[0]: (r[1], r[2]) for r in con.execute(entry._BM25_SQL).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_phrase_match_consecutive_only(spark):
+    from webcrawler_spark.pipeline.search import phrase_match
+
+    rows = [
+        (1, "x alpha beta gamma y"),                    # one match
+        (2, "alpha beta gamma alpha beta gamma"),        # two matches
+        (3, "alpha x beta gamma"),                       # terms present, broken
+        (4, "beta gamma alpha"),                         # wrong order
+        (5, "alpha beta"),                               # missing term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(df, ["alpha", "beta", "gamma"]).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_phrase_match_repeated_term(spark):
+    from webcrawler_spark.pipeline.search import phrase_match
+
+    rows = [
+        (1, "the cat the dog"),       # matches 'the cat the'
+        (2, "the cat dog the"),       # no consecutive triple
+        (3, "cat the the dog"),       # 'the the' but not the phrase
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(df, ["the", "cat", "the"]).collect()}
+    assert got == {1: 1}
+
+
+def test_positional_postings_offsets(spark):
+    from webcrawler_spark.pipeline.search import positional_postings
+
+    df = spark.createDataFrame([(1, "a b a c a")], "doc_id long, text string")
+    got = {r["term"]: (list(r["positions"]), r["tf"])
+           for r in positional_postings(df).collect()}
+    assert got["a"] == ([0, 2, 4], 3)
+    assert got["b"] == ([1], 1)
+    assert got["c"] == ([3], 1)

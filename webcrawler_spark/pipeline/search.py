@@ -130,3 +130,72 @@ def bm25_topk(
     TakeOrderedAndProject — per-partition heaps, no global sort."""
     s = bm25_scores(df, query_terms, id_col, text_col, k1, b, decimals=None)
     return s.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index rows (term, doc_id, positions array<int>,
+    tf) — the layout phrase and proximity queries need (Lucene's positions
+    file). One posexplode + one combiner groupBy; positions are sorted
+    0-based token offsets."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.array_sort(F.collect_list("pos")).alias("positions"),
+            F.count("*").cast("long").alias("tf"),
+        )
+    )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search: docs containing the terms at CONSECUTIVE
+    positions, with the match count. The classic positional-postings
+    algorithm: fetch each query term's postings, re-base term i's positions
+    by -i, and count positions shared by ALL terms (an intersection of the
+    re-based lists -> start offsets of full phrase occurrences).
+
+    Plan shape: the term IN-list prunes postings before anything joins (at a
+    standing term-bucketed index that is a bucket-pruned scan); per-doc the
+    |phrase| posting rows aggregate with array_intersect over re-based
+    position lists. Only docs containing every term reach the intersection
+    (count(term)==|phrase| gate). Returns (doc_id, n_matches > 0).
+    """
+    terms = list(phrase)
+    pp = positional_postings(df, id_col, text_col)
+    tdf = pp.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, t_idx int"
+    )
+    hits = pp.join(F.broadcast(tdf), "term").select(
+        "doc_id",
+        "t_idx",
+        F.transform("positions", lambda p: p - F.col("t_idx")).alias("rebased"),
+    )
+    agg = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_nterms"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("t_idx", "rebased"))),
+                F.lit(None).cast("array<int>"),
+                lambda acc, x: F.when(acc.isNull(), x["rebased"]).otherwise(
+                    F.array_intersect(acc, x["rebased"])
+                ),
+            ).alias("_starts"),
+        )
+        # one row per (term, t_idx) pairing: a doc holding every DISTINCT
+        # term yields exactly len(terms) rows (repeated phrase terms join
+        # once per t_idx), so the all-terms gate compares to len(terms)
+        .filter(F.col("_nterms") == len(terms))
+        .select("doc_id", F.size("_starts").cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+    return agg
