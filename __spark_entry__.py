@@ -912,9 +912,9 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("# synthetic robots\nUser-Agent: *\nDisallow: /admin  # backoffice\nDisallow: /p"),
             i.cast("string"),
-            F.lit("\nCrawl-delay: "),
+            F.lit("\nAllow: /admin/public\nCrawl-delay: "),
             (i % 7).cast("string"),
-            F.lit("\n\nUser-agent: otherbot\nDisallow: /other\n"),
+            F.lit("\n\nUser-agent: otherbot\nDisallow: /other\nAllow: /other/ok\n"),
         )
     )
     return parse_robots_txt(u.select("host", body.alias("body")))
@@ -928,9 +928,47 @@ hosts as (
 select host,
        case when i % 3 = 0 then []::varchar[]
             else ['/admin', '/p' || i] end as disallow,
+       case when i % 3 = 0 then []::varchar[]
+            else ['/admin/public'] end as allow,
        case when i % 3 = 0 then null
             else cast((i % 7) * 1000 as bigint) end as crawl_delay_ms
 from hosts
+"""
+
+
+def q_robots_rfc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match gate (admission.apply_robots_rfc): Disallow
+    /order with an Allow /order/1 carve-out — urls under the carve-out pass
+    (longer allow beats shorter disallow), everything else under /order is
+    skipped, unruled hosts pass untouched. The oracle recomputes the
+    longest-match decision from the url string alone."""
+    from webcrawler_spark.operators.admission import apply_robots_rfc
+
+    u = _urls(spark, sf_dir).select("url", "host")
+    i = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    robots = (
+        u.select("host").distinct()
+        .filter(i % 2 == 0)
+        .select(
+            "host",
+            F.array(F.lit("/order")).alias("disallow"),
+            F.array(F.lit("/order/1")).alias("allow"),
+        )
+    )
+    allowed, skipped = apply_robots_rfc(u, robots)
+    return allowed.select("url", F.lit("ALLOWED").alias("gate")).unionByName(
+        skipped.select("url", F.lit("SKIPPED_ROBOTS").alias("gate"))
+    )
+
+
+_ROBOTS_RFC_SQL = f"""
+with urls as ({_URLS_SQL})
+select url,
+       case when regexp_extract(host, 'host(\\d+)', 1)::int % 2 = 0
+                 and url like '%/order/%'
+                 and not regexp_matches(url, '/order/1')
+            then 'SKIPPED_ROBOTS' else 'ALLOWED' end as gate
+from urls
 """
 
 
@@ -3227,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "frontier_pr_admission": q_frontier_pr_admission,
         "robots_parse": q_robots_parse,
+        "robots_rfc_gate": q_robots_rfc_gate,
         "sitemap_seeds": q_sitemap_seeds,
         "robots_sitemap_chain": q_robots_sitemap_chain,
         "text_line_dedup": q_text_line_dedup,
@@ -3320,6 +3359,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _PAGERANK_SQL,
         "frontier_pr_admission": _FRONTIER_PR_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
+        "robots_rfc_gate": _ROBOTS_RFC_SQL,
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,
         "robots_sitemap_chain": _ROBOTS_SITEMAP_CHAIN_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,

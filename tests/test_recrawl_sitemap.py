@@ -179,3 +179,42 @@ def test_refresh_schedule_backoff_and_reset(spark):
     last = dt.datetime(2026, 1, 2)
     want_ms = int(calendar.timegm(last.timetuple()) * 1000) + 1000
     assert got["C"]["next_fetch_ms"] == want_ms
+
+
+def test_robots_parse_allow_directives(spark):
+    from webcrawler_spark.operators.robots import parse_robots_txt
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/press\n"
+        "Allow: /public\n"
+        "User-agent: otherbot\n"
+        "Allow: /other-only\n"
+    )
+    df = spark.createDataFrame([("a.test", body)], "host string, body string")
+    r = parse_robots_txt(df).collect()[0]
+    assert list(r["disallow"]) == ["/private"]
+    assert list(r["allow"]) == ["/private/press", "/public"]   # star group only
+
+
+def test_apply_robots_rfc_longest_match(spark):
+    from webcrawler_spark.operators.admission import apply_robots_rfc
+
+    robots = spark.createDataFrame(
+        [("a.test", ["/private", "/x"], ["/private/press", "/x"])],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://a.test/private/doc",),        # disallow wins
+            ("https://a.test/private/press/1",),    # longer allow wins
+            ("https://a.test/x",),                  # equal length: allow wins (RFC tie)
+            ("https://a.test/free",),               # no rule matches
+            ("https://b.test/private/doc",),        # host without rules
+        ],
+        "url string",
+    )
+    allowed, skipped = apply_robots_rfc(urls, robots)
+    assert {r["url"] for r in skipped.collect()} == {"https://a.test/private/doc"}
+    assert allowed.count() == 4

@@ -248,3 +248,47 @@ def apply_robots(
     allowed = joined.filter(~blocked).drop("_host", "_rhost", "_disallow")
     skipped = joined.filter(blocked).drop("_host", "_rhost", "_disallow")
     return allowed, skipped
+
+
+def apply_robots_rfc(
+    frontier: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+) -> Tuple[DataFrame, DataFrame]:
+    """RFC 9309 §2.2.2 gate: Allow AND Disallow with longest-match
+    precedence — the most specific matching rule wins; at equal length the
+    LEAST restrictive (Allow) wins; no matching rule means allowed.
+
+    ``apply_robots`` above keeps the reference-parity disallow-only prefix
+    semantics the crawl path and sequential oracle share; this variant is
+    the standards-complete gate for robots files that use Allow carve-outs
+    (e.g. ``Disallow: /private`` + ``Allow: /private/press``). Same plan
+    shape: broadcast one row per host, pure column algebra.
+    """
+    path = F.concat(
+        F.parse_url(F.col(url_col), F.lit("PATH")),
+        F.coalesce(
+            F.concat(F.lit("?"), F.parse_url(F.col(url_col), F.lit("QUERY"))),
+            F.lit(""),
+        ),
+    )
+    r = robots.select(
+        F.col("host").alias("_rhost"),
+        F.col("disallow").alias("_dis"),
+        F.col("allow").alias("_alw"),
+    )
+    joined = frontier.withColumn(
+        "_host", F.parse_url(F.col(url_col), F.lit("HOST"))
+    ).join(F.broadcast(r), F.col("_host") == F.col("_rhost"), "left")
+
+    def longest(rules: Column) -> Column:
+        lens = F.transform(
+            F.filter(F.coalesce(rules, F.array()), lambda p: path.startswith(p)),
+            F.length,
+        )
+        return F.coalesce(F.array_max(lens), F.lit(-1))
+
+    blocked = longest(F.col("_dis")) > longest(F.col("_alw"))
+    allowed = joined.filter(~blocked).drop("_host", "_rhost", "_dis", "_alw")
+    skipped = joined.filter(blocked).drop("_host", "_rhost", "_dis", "_alw")
+    return allowed, skipped

@@ -79,6 +79,15 @@ def parse_robots_txt(
             ).alias("disallow")
         )
     )
+    alw = (
+        star.filter((F.col("key") == "allow") & (F.col("val") != ""))
+        .groupBy("host")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
+            ).alias("allow")
+        )
+    )
     delay = (
         star.filter(F.col("key") == "crawl-delay")
         .groupBy("host")
@@ -92,11 +101,15 @@ def parse_robots_txt(
     )
     return (
         hosts.join(dis, "host", "left")
+        .join(alw, "host", "left")
         .join(delay, "host", "left")
         .select(
             "host",
             F.coalesce(F.col("disallow"), F.array().cast("array<string>")).alias(
                 "disallow"
+            ),
+            F.coalesce(F.col("allow"), F.array().cast("array<string>")).alias(
+                "allow"
             ),
             "crawl_delay_ms",
         )
