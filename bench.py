@@ -34,6 +34,8 @@ HEADLINE = [
     "f2_admission_salted",
     "t3_urlnorm",
     "t4_url_filter",
+    "url_canon_tracking",
+    "robots_rfc_gate",
     "h2_h3_segments",
     "p6_inverted_docs",
     "first_occurrence",
@@ -63,6 +65,9 @@ HEADLINE = [
     "domain_mixture",
     "decontaminate",
     "recrawl_diff",
+    "refresh_schedule",
+    "quality_deciles",
+    "search_phrase",
     "host_pagerank",
     "frontier_pr_admission",
 ]
