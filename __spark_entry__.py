@@ -1584,6 +1584,40 @@ from tg join eg using (g)
 """
 
 
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textstats.winnow_fingerprints, the MOSS
+    algorithm): per-doc distinct window-min gram hashes — any shared run of
+    >= w+k-1 tokens between docs shares a fingerprint. Pure array algebra;
+    the oracle recomputes grams, windows, and mins independently."""
+    from webcrawler_spark.pipeline.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=5, w=4).select(
+        "doc_id", F.size("winnow_fps").cast("long").alias("n_fps"), "winnow_fps"
+    )
+
+
+_WINNOW_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+g as (
+  select doc_id,
+         case when len(tk) >= 5
+              then list_transform(range(1, len(tk) - 3),
+                   i -> {_HASH64_SQL.format(x="array_to_string(tk[i:i+4], ' ')")})
+              else [{_HASH64_SQL.format(x="array_to_string(tk, ' ')")}] end as h
+  from toks),
+m as (
+  select doc_id,
+         case when len(h) >= 4
+              then list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3]))
+              else [list_min(h)] end as mins
+  from g)
+select doc_id, len(list_distinct(mins))::bigint as n_fps,
+       list_sort(list_distinct(mins)) as winnow_fps
+from m
+"""
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication signal (dedup.dup_span_stats): per-doc
     share of word 16-grams occurring in >1 doc — the shuffle-friendly
@@ -3246,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprints": q_winnow_fps,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -3340,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_deciles": _QUALITY_DECILES_SQL,
         "text_langid": _langid_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
         "multimodal_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

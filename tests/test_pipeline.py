@@ -1008,3 +1008,47 @@ def test_mixture_epochs_over_demand(docs):
     assert r["src0"]["rate_pm"] == 1000                       # over-demanded
     assert r["src0"]["epochs"] == -(-t0 // avail["src0"]) > 1
     assert r["src1"]["rate_pm"] < 1000 and r["src1"]["epochs"] == 1
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Winnowing guarantee: two docs sharing a token run of >= w+k-1 = 8
+    tokens must share at least one fingerprint; unrelated docs share none."""
+    from webcrawler_spark.pipeline.textstats import winnow_fingerprints
+
+    shared = "q w e r t y u i"                      # 8 shared tokens
+    rows = [
+        (1, f"aa bb cc {shared} dd ee"),
+        (2, f"xx {shared} yy zz qq"),
+        (3, "totally different words and nothing else at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: set(r["winnow_fps"])
+           for r in winnow_fingerprints(df, k=5, w=4).collect()}
+    assert got[1] & got[2]
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from webcrawler_spark.pipeline.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "only three tokens")], "doc_id long, text string")
+    r = winnow_fingerprints(df, k=5, w=4).collect()[0]
+    assert len(r["winnow_fps"]) == 1                # whole-doc gram, one window
+
+
+def test_short_docs_survive_shingle_ops_under_ansi(spark):
+    """Regression: under ANSI mode (Spark 4 default) the old element_at
+    shingle construction CRASHED the whole job on any doc with fewer than k
+    tokens; short docs must flow through every shingle-based op and dedup by
+    whole-doc shingle."""
+    from webcrawler_spark.pipeline.dedup import minhash_lsh_pairs, minhash_signatures
+    from webcrawler_spark.pipeline.textstats import with_fingerprint
+
+    rows = [(1, "one"), (2, "one"), (3, "two words"), (4, ""), (5, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, n_hashes=4).collect()      # no raise
+    assert len(sigs) == 5
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs                                    # whole-doc shingle dedups
+    fps = with_fingerprint(df).select("doc_id", "rolling_fp").collect()
+    assert len(fps) == 5

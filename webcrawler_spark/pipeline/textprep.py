@@ -58,12 +58,16 @@ def hash64_hi(s: Column) -> Column:
 def shingles_col(toks: Column, k: int) -> Column:
     """Distinct word k-shingles (space-joined runs of k tokens), in-order
     first-occurrence distinct. Docs with < k tokens get the whole-doc shingle
-    so they still participate in dedup."""
+    so they still participate in dedup.
+
+    Runs are built with slice+array_join, NOT element_at: under ANSI mode
+    (the Spark 4 default, on in this engine's sessions) an out-of-range
+    element_at RAISES, so the old formulation crashed the whole job on any
+    document with 1..k-1 tokens — slice truncates cleanly and produces the
+    identical whole-doc shingle for short docs."""
     runs = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
     return F.array_distinct(runs)
 

@@ -260,3 +260,42 @@ def unigram_logprob(
         F.count("*").alias("n_toks"),
         F.round(F.avg("lp"), decimals).alias("avg_logp"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Adds ``winnow_fps``: the document's winnowing fingerprint set
+    (Schleimer, Wilkerson, Aiken 2003 — the MOSS local fingerprinting
+    algorithm): hash every word k-gram in order, slide a window of w hashes,
+    keep each window's minimum, distinct the selections. Guarantees any
+    shared token run of length >= w + k - 1 contributes at least one common
+    fingerprint between two documents — the positional-locality property
+    the single global-min ``rolling_fp`` (with_fingerprint) lacks.
+
+    Docs with fewer than k tokens fingerprint their whole token join; fewer
+    grams than w -> one fingerprint (the global min). Pure JVM array
+    algebra over a materialized token column — zero shuffle, zero Python.
+    """
+    from .textprep import hash64, spread, tokens_col
+
+    staged = spread(df).withColumn("_tk", tokens_col(F.col(text_col)))
+    tk = F.col("_tk")
+    # slice (not element_at) so the short-doc fallback run truncates cleanly
+    # instead of raising under ANSI mode's strict array indexing
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(1))),
+        lambda i: hash64(F.array_join(F.slice(tk, i, k), " ")),
+    )
+    staged = staged.withColumn("_h", grams)
+    h, m = F.col("_h"), F.size(F.col("_h"))
+    mins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(h)))
+    return staged.withColumn(
+        "winnow_fps", F.array_sort(F.array_distinct(mins))
+    ).drop("_tk", "_h")
