@@ -38,13 +38,12 @@ def ngram_hashes_from_tokens(tk: Column, n: int = NGRAM_N) -> Column:
     ``tk`` must be a MATERIALIZED column (projected via select/withColumn),
     not an inline ``tokens_col(text)`` expression: higher-order functions
     evaluate interpreted without common-subexpression elimination, so an
-    inline tokenizer would re-split the text for every one of the n
-    ``element_at`` references per gram (measured 10x+ slowdown)."""
+    inline tokenizer would re-split the text per array reference in the
+    gram lambda (measured 10x+ slowdown). Runs use slice+array_join, the
+    ANSI-safe form (see textprep.shingles_col)."""
     runs = F.transform(
         F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-        lambda i: hash64(
-            F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)])
-        ),
+        lambda i: hash64(F.array_join(F.slice(tk, i, n), " ")),
     )
     return F.when(F.size(tk) >= n, F.array_distinct(runs)).otherwise(
         F.array().cast("array<bigint>")
