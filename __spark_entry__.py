@@ -2407,6 +2407,33 @@ select doc_id, n_matches from m where n_matches > 0
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF keywords (search.tfidf_topk_terms): postings and
+    document frequencies share the term key (reused exchange), top-k is a
+    per-doc window — no corpus-wide sort. Ties break on term asc so ranking
+    is deterministic in both engines."""
+    from webcrawler_spark.pipeline.search import tfidf_topk_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, k=5).select("doc_id", "term", "tfidf", "rnk")
+
+
+_TFIDF_SQL = f"""
+with toks as (select doc_id, unnest({_TOKS_SQL}) as term from documents),
+p as (select term, doc_id, count(*)::bigint as tf from toks group by 1, 2),
+dfreq as (select term, count(*) as df from p group by term),
+n as (select count(distinct doc_id)::double as n from documents),
+scored as (
+  select p.doc_id, p.term,
+         round(p.tf * ln((select n from n) / dfreq.df), 4) as tfidf
+  from p join dfreq using (term))
+select doc_id, term, tfidf, rnk from (
+  select *, row_number() over (partition by doc_id order by tfidf desc, term) as rnk
+  from scored) t
+where rnk <= 5
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_quality
 
@@ -3275,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lp": q_text_unigram_lp,
         "search_bm25": q_search_bm25,
         "search_phrase": q_search_phrase,
+        "tfidf_keywords": q_tfidf_keywords,
         "warc_roundtrip": q_warc_roundtrip,
         "text_quality": q_text_quality,
         "quality_deciles": q_quality_deciles,
@@ -3370,6 +3398,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_lp": _UNIGRAM_LP_SQL,
         "search_bm25": _BM25_SQL,
         "search_phrase": _SEARCH_PHRASE_SQL,
+        "tfidf_keywords": _TFIDF_SQL,
         "warc_roundtrip": _WARC_SQL,
         "text_quality": _QUALITY_SQL,
         "quality_deciles": _QUALITY_DECILES_SQL,

@@ -161,3 +161,27 @@ def test_positional_postings_offsets(spark):
     assert got["a"] == ([0, 2, 4], 3)
     assert got["b"] == ([1], 1)
     assert got["c"] == ([3], 1)
+
+
+def test_tfidf_topk_terms_matches_python(spark):
+    import math
+
+    from webcrawler_spark.pipeline.search import tfidf_topk_terms
+
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "banana cherry cherry"),
+        (3, "cherry date date date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["rnk"]): (r["term"], r["tfidf"])
+           for r in tfidf_topk_terms(df, k=2).collect()}
+    n = 3.0
+    dfreq = {"apple": 1, "banana": 2, "cherry": 3, "date": 1}
+    def s(tf, t): return round(tf * math.log(n / dfreq[t]), 4)
+    # doc 1: apple tf2 idf ln(3) wins; cherry idf 0 -> banana second
+    assert got[(1, 1)] == ("apple", s(2, "apple"))
+    assert got[(1, 2)] == ("banana", s(1, "banana"))
+    # doc 3: date tf3 wins; cherry scores 0
+    assert got[(3, 1)] == ("date", s(3, "date"))
+    assert got[(3, 2)] == ("cherry", 0.0)

@@ -199,3 +199,37 @@ def phrase_match(
         .filter(F.col("n_matches") > 0)
     )
     return agg
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (plain idf = ln(N/df)): the
+    standard keyword-extraction / doc-vectorization primitive. Returns
+    (doc_id, term, tfidf, rnk<=k), ties broken by term asc.
+
+    Plan: postings + per-term document frequency share the term key (the
+    exchange is reused), N is a 1-row broadcast aggregate, and the top-k is
+    a per-doc window over each doc's own postings — no corpus-wide sort.
+    """
+    from pyspark.sql import Window
+
+    p = postings(df, id_col, text_col)
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = p.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = p.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("_df")), decimals
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
