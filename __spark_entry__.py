@@ -936,6 +936,42 @@ from hosts
 """
 
 
+def q_aged_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority aging in admission (admission.aged_priority): rows that
+    waited age_every=4 rounds gain one priority class (floored at 0), so a
+    starved low-priority tail eventually wins over fresh arrivals — MLFQ
+    aging applied to the frontier. Synthetic enqueue_round = rank % 12 at
+    current round 12 gives waits 0..12 and every aging regime; admission
+    takes each host's first 8 by (effective priority, warc_ts, rank)."""
+    from webcrawler_spark.operators.admission import admit, aged_priority
+
+    u = _urls(spark, sf_dir).withColumn(
+        "enqueue_round", (F.col("rank") % 12).cast("int")
+    )
+    aged = u.withColumn(
+        "eff_priority",
+        aged_priority(F.col("priority"), F.col("enqueue_round"), current_round=12),
+    )
+    admitted, _ = admit(
+        aged, per_host_budget=8,
+        order_cols=("eff_priority", "warc_ts", "rank"), host_col="host",
+    )
+    return admitted.select("url", "host", "eff_priority")
+
+
+_AGED_ADMISSION_SQL = f"""
+with urls as ({_URLS_SQL}),
+aged as (
+  select url, host, warc_ts, rank,
+         greatest(0, priority - (12 - (rank % 12)) // 4)::int as eff_priority
+  from urls)
+select url, host, eff_priority from (
+  select *, row_number() over (partition by host order by eff_priority, warc_ts, rank) as a
+  from aged) t
+where a <= 8
+"""
+
+
 def q_robots_rfc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 longest-match gate (admission.apply_robots_rfc): Disallow
     /order with an Allow /order/1 carve-out — urls under the carve-out pass
@@ -3245,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_dedup_anti_join": q_f1_dedup_anti_join,
         "f1_dedup_bloom": q_f1_dedup_bloom,
         "f2_admission_salted": q_f2_admission_salted,
+        "aged_admission": q_aged_admission,
         "robots_filter": q_robots_filter,
         "t3_urlnorm": q_t3_urlnorm,
         "url_canon_tracking": q_url_canon_tracking,
@@ -3343,6 +3380,7 @@ def oracle_sql() -> dict[str, str]:
         "f1_dedup_anti_join": _F1_SQL,
         "f1_dedup_bloom": _F1_SQL,  # bloom path must equal exact anti-join
         "f2_admission_salted": _F2_SALTED_SQL,
+        "aged_admission": _AGED_ADMISSION_SQL,
         "robots_filter": _ROBOTS_SQL,
         "t3_urlnorm": _T3_SQL,
         "url_canon_tracking": _URL_CANON_SQL,

@@ -719,3 +719,26 @@ def test_timed_with_global_and_concurrency_caps(spark, tiny_pages_df, tiny_corpu
     got = [r["url"] for r in result.queue.collect()]
     assert got == oracle.queue_order
     assert result.rounds_run == oracle.rounds
+
+
+def test_aged_priority_classes_and_floor(spark):
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators.admission import aged_priority
+
+    df = spark.createDataFrame(
+        [(2, 0), (2, 4), (2, 8), (2, 12), (0, 12), (1, 3)],
+        "priority int, waited int",
+    )
+    out = df.select(
+        "priority", "waited",
+        aged_priority(F.col("priority"), F.lit(12) - F.col("waited"),
+                      current_round=12, age_every=4).alias("eff"),
+    ).collect()
+    got = {(r["priority"], r["waited"]): r["eff"] for r in out}
+    assert got[(2, 0)] == 2    # fresh: unchanged
+    assert got[(2, 4)] == 1    # one class per 4 rounds waited
+    assert got[(2, 8)] == 0
+    assert got[(2, 12)] == 0   # floored at best class
+    assert got[(0, 12)] == 0   # already best
+    assert got[(1, 3)] == 1    # sub-threshold wait: unchanged

@@ -292,3 +292,28 @@ def apply_robots_rfc(
     allowed = joined.filter(~blocked).drop("_host", "_rhost", "_dis", "_alw")
     skipped = joined.filter(blocked).drop("_host", "_rhost", "_dis", "_alw")
     return allowed, skipped
+
+
+def aged_priority(
+    priority: "Column",
+    enqueue_round: "Column",
+    current_round: int,
+    age_every: int = 4,
+) -> "Column":
+    """Starvation-avoidance priority aging: a frontier row's EFFECTIVE
+    priority improves by one class for every ``age_every`` rounds it has
+    waited, floored at 0 (the best class):
+
+        eff = greatest(0, priority - (current_round - enqueue_round) div age_every)
+
+    Without aging, a busy host's low-priority tail can wait forever behind a
+    steady stream of fresh high-priority discoveries — the classic MLFQ
+    starvation problem, solved the classic way. Pure integer column math;
+    feed the result into ``admit``/``salted_admit``'s order key in place of
+    the raw priority."""
+    waited = (F.lit(int(current_round)) - enqueue_round).cast("long")
+    # nonnegative ints: (w - w % n) / n is exact floor division in any engine
+    classes = (waited - waited % F.lit(int(age_every))) / F.lit(int(age_every))
+    return F.greatest(
+        F.lit(0).cast("int"), (priority - classes).cast("int")
+    )
