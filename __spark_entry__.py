@@ -1773,6 +1773,38 @@ group by doc_id
 """
 
 
+def q_text_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (textstats.bigram_logprob):
+    p(cur|prev) = 0.9 c(prev,cur)/c(prev·) + 0.1 c(cur)/N from the corpus's
+    own counts — the step past the unigram proxy toward the CCNet LM filter.
+    Count aggs ride their natural keys; the oracle recomputes the identical
+    interpolation independently."""
+    from webcrawler_spark.pipeline.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_BIGRAM_LP_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+pairs as (
+  select doc_id, tk[i] as prev, tk[i+1] as cur
+  from toks, unnest(range(1, len(tk))) as r(i)
+  where len(tk) >= 2),
+alltok as (select doc_id, unnest({_TOKS_SQL}) as tok from documents),
+uni as (select tok, count(*) as c_uni from alltok group by 1),
+nn as (select count(*)::double as n from alltok),
+big as (select prev, cur, count(*) as c_big from pairs group by 1, 2),
+ctx as (select prev, sum(c_big) as c_ctx from big group by prev)
+select p.doc_id, count(*) as n_bigrams,
+       round(avg(ln(0.9 * (b.c_big / c.c_ctx) + 0.1 * (u.c_uni / (select n from nn)))), 4) as avg_logp
+from pairs p
+join big b using (prev, cur)
+join ctx c using (prev)
+join uni u on u.tok = p.cur
+group by p.doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with PLANTED duplicates: the raw documents table has no
     byte-identical texts (a vacuous 0==0 green in round 1), so every 10th doc
@@ -3337,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_gopher_rules": q_text_gopher,
         "text_unigram_lp": q_text_unigram_lp,
+        "text_bigram_lp": q_text_bigram_lp,
         "search_bm25": q_search_bm25,
         "search_phrase": q_search_phrase,
         "tfidf_keywords": q_tfidf_keywords,
@@ -3434,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _BPE_TOKENS_SQL,
         "text_gopher_rules": _GOPHER_SQL,
         "text_unigram_lp": _UNIGRAM_LP_SQL,
+        "text_bigram_lp": _BIGRAM_LP_SQL,
         "search_bm25": _BM25_SQL,
         "search_phrase": _SEARCH_PHRASE_SQL,
         "tfidf_keywords": _TFIDF_SQL,

@@ -1052,3 +1052,24 @@ def test_short_docs_survive_shingle_ops_under_ansi(spark):
     assert (1, 2) in pairs                                    # whole-doc shingle dedups
     fps = with_fingerprint(df).select("doc_id", "rolling_fp").collect()
     assert len(fps) == 5
+
+
+def test_bigram_logprob_matches_python(spark):
+    import math
+
+    from webcrawler_spark.pipeline.textstats import bigram_logprob
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert 3 not in got                               # <2 tokens: no bigrams
+    # corpus counts: tokens a:3 b:3 c:1 solo:1, N=8
+    # bigrams: (a,b):2+1=3 (b,a):1 (b,c):1 ; ctx a:3 b:2
+    N = 8.0
+    def p(cb, cc, cu):
+        return 0.9 * (cb / cc) + 0.1 * (cu / N)
+    d1 = (math.log(p(3, 3, 3)) + math.log(p(1, 2, 3)) + math.log(p(3, 3, 3))) / 3
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["avg_logp"] == pytest.approx(round(d1, 4), abs=1e-4)
+    d2 = (math.log(p(3, 3, 3)) + math.log(p(1, 2, 1))) / 2
+    assert got[2]["avg_logp"] == pytest.approx(round(d2, 4), abs=1e-4)

@@ -299,3 +299,69 @@ def winnow_fingerprints(
     return staged.withColumn(
         "winnow_fps", F.array_sort(F.array_distinct(mins))
     ).drop("_tk", "_h")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    lam_pm: int = 900,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-doc mean interpolated bigram log-probability under the corpus's
+    own counts — the step up from ``unigram_logprob`` toward the CCNet-style
+    LM filter:
+
+        p(t_i | t_{i-1}) = λ · c(t_{i-1} t_i)/c(t_{i-1}) + (1−λ) · c(t_i)/N
+
+    with λ = lam_pm/1000 (Jelinek-Mercer interpolation; the unigram floor
+    means unseen-in-context tokens still score, no zero-probability blowup).
+    Docs need >= 2 tokens (no bigram otherwise). Returns
+    (key, n_bigrams, avg_logp).
+
+    Plan: one explode to (prev, cur) pairs via slice windows, bigram and
+    unigram count aggregations on their natural keys, two joins back (each
+    key-aligned with its count side), one per-doc mean.
+    """
+    from .textprep import spread, tokens_col
+
+    staged = spread(df).withColumn("_tk", tokens_col(F.col(text_col)))
+    tk = F.col("_tk")
+    pairs = staged.filter(F.size(tk) >= 2).select(
+        F.col(key),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("prev"),
+                    F.element_at(tk, i + 1).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(key, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+    toks = spread(df).select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_uni"))
+    n_total = toks.count()
+    # c(prev) as bigram-context count = unigram count of prev EXCEPT when
+    # prev ends its doc; use sum of bigram counts per prev (exact context mass)
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c_big"))
+    ctx = big.groupBy("prev").agg(F.sum("c_big").alias("c_ctx"))
+
+    lam = lam_pm / 1000.0
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni.withColumnRenamed("tok", "cur"), "cur")
+        .select(
+            F.col(key),
+            F.log(
+                F.lit(lam) * (F.col("c_big").cast("double") / F.col("c_ctx").cast("double"))
+                + F.lit(1.0 - lam) * (F.col("c_uni").cast("double") / F.lit(float(n_total)))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(key).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), decimals).alias("avg_logp"),
+    )
