@@ -218,3 +218,19 @@ def test_apply_robots_rfc_longest_match(spark):
     allowed, skipped = apply_robots_rfc(urls, robots)
     assert {r["url"] for r in skipped.collect()} == {"https://a.test/private/doc"}
     assert allowed.count() == 4
+
+
+def test_robots_parse_malformed_crawl_delay_survives(spark):
+    """A garbage Crawl-delay value in ONE robots.txt must not kill the parse
+    job under ANSI mode: that host degrades to no-delay, rules still parse."""
+    from webcrawler_spark.operators.robots import parse_robots_txt
+
+    body = "User-agent: *\nDisallow: /x\nCrawl-delay: fast\n"
+    df = spark.createDataFrame(
+        [("a.test", body), ("b.test", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, body string",
+    )
+    got = {r["host"]: (list(r["disallow"]), r["crawl_delay_ms"])
+           for r in parse_robots_txt(df).collect()}
+    assert got["a.test"] == (["/x"], None)
+    assert got["b.test"] == ([], 2000)

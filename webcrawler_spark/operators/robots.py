@@ -94,7 +94,10 @@ def parse_robots_txt(
         .agg(F.min(F.struct("pos", "val")).alias("_first"))
         .select(
             "host",
-            F.round(F.col("_first.val").cast("double") * 1000).cast("long").alias(
+            # try_cast, not cast: a malformed value ("Crawl-delay: fast") in
+            # ONE crawled robots.txt would otherwise kill the whole parse job
+            # under ANSI mode; null = no delay, matching a missing directive
+            F.round(F.col("_first.val").try_cast("double") * 1000).cast("long").alias(
                 "crawl_delay_ms"
             ),
         )
