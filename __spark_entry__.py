@@ -936,6 +936,42 @@ from hosts
 """
 
 
+def q_host_circuit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host circuit breaker (admission.host_circuit): hosts whose recent
+    fetch-error share exceeds 50% over >=5 fetches trip OPEN and sit out the
+    next round — a dying host stops burning politeness budget on timeouts.
+    Synthetic fetch log: status deterministic in (rank, host index), so the
+    oracle recomputes the exact trip decision; hosts with few observations
+    stay CLOSED regardless of rate (the min-fetches guard)."""
+    from webcrawler_spark.operators.admission import host_circuit
+
+    u = _urls(spark, sf_dir).select("url", "host", "rank")
+    i = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    # host i fails roughly i/40 of its fetches -> trip boundary mid-range
+    log = u.select(
+        "host",
+        F.when((F.col("rank") % 40) < i, F.lit("ERROR_FETCH"))
+        .otherwise(F.lit("OK"))
+        .alias("status"),
+    )
+    return host_circuit(log, error_threshold_pm=500, min_fetches=5)
+
+
+_HOST_CIRCUIT_SQL = f"""
+with urls as ({_URLS_SQL}),
+log as (
+  select host,
+         case when (rank % 40) < regexp_extract(host, 'host(\\d+)', 1)::int
+              then 'ERROR_FETCH' else 'OK' end as status
+  from urls)
+select host, count(*)::bigint as n_fetches,
+       sum((status <> 'OK')::int)::bigint as n_errors,
+       case when count(*) >= 5 and sum((status <> 'OK')::int) * 1000 > 500 * count(*)
+            then 'OPEN' else 'CLOSED' end as state
+from log group by host
+"""
+
+
 def q_aged_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority aging in admission (admission.aged_priority): rows that
     waited age_every=4 rounds gain one priority class (floored at 0), so a
@@ -3314,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_dedup_bloom": q_f1_dedup_bloom,
         "f2_admission_salted": q_f2_admission_salted,
         "aged_admission": q_aged_admission,
+        "host_circuit": q_host_circuit,
         "robots_filter": q_robots_filter,
         "t3_urlnorm": q_t3_urlnorm,
         "url_canon_tracking": q_url_canon_tracking,
@@ -3414,6 +3451,7 @@ def oracle_sql() -> dict[str, str]:
         "f1_dedup_bloom": _F1_SQL,  # bloom path must equal exact anti-join
         "f2_admission_salted": _F2_SALTED_SQL,
         "aged_admission": _AGED_ADMISSION_SQL,
+        "host_circuit": _HOST_CIRCUIT_SQL,
         "robots_filter": _ROBOTS_SQL,
         "t3_urlnorm": _T3_SQL,
         "url_canon_tracking": _URL_CANON_SQL,

@@ -742,3 +742,20 @@ def test_aged_priority_classes_and_floor(spark):
     assert got[(2, 12)] == 0   # floored at best class
     assert got[(0, 12)] == 0   # already best
     assert got[(1, 3)] == 1    # sub-threshold wait: unchanged
+
+
+def test_host_circuit_trips_on_error_rate(spark):
+    from webcrawler_spark.operators.admission import host_circuit
+
+    rows = (
+        [("bad.test", "ERROR_FETCH")] * 4 + [("bad.test", "OK")] * 2          # 4/6 > 50%
+        + [("ok.test", "ERROR_FETCH")] + [("ok.test", "OK")] * 9              # 10% errors
+        + [("few.test", "ERROR_FETCH")] * 3                                   # 100% but < 5 fetches
+        + [("edge.test", "ERROR_FETCH")] * 3 + [("edge.test", "OK")] * 3      # exactly 50%: stays CLOSED
+    )
+    df = spark.createDataFrame(rows, "host string, status string")
+    got = {r["host"]: r["state"] for r in host_circuit(df).collect()}
+    assert got == {
+        "bad.test": "OPEN", "ok.test": "CLOSED",
+        "few.test": "CLOSED", "edge.test": "CLOSED",
+    }

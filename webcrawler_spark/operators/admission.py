@@ -317,3 +317,34 @@ def aged_priority(
     return F.greatest(
         F.lit(0).cast("int"), (priority - classes).cast("int")
     )
+
+
+def host_circuit(
+    fetch_log: DataFrame,
+    error_threshold_pm: int = 500,
+    min_fetches: int = 5,
+    host_col: str = "host",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-host circuit breaker from recent fetch outcomes: hosts whose
+    error share exceeds ``error_threshold_pm`` per-mille over at least
+    ``min_fetches`` observations trip OPEN (suspend fetching; retry after a
+    cool-down round), everything else stays CLOSED. The standard remedy for
+    a dying host burning the round's politeness budget on timeouts.
+
+    ``fetch_log``: (host, status) rows, status 'OK'/'ERROR_FETCH'/... —
+    any non-OK counts as an error. Exact integer comparison
+    (errors * 1000 > threshold_pm * n), so the trip decision is bit-stable.
+    Returns (host, n_fetches, n_errors, state). One host-keyed aggregate;
+    feed OPEN hosts as an anti-join into the next round's admission.
+    """
+    agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum((F.col(status_col) != "OK").cast("long")).alias("n_errors"),
+    )
+    tripped = (F.col("n_fetches") >= min_fetches) & (
+        F.col("n_errors") * 1000 > F.lit(int(error_threshold_pm)) * F.col("n_fetches")
+    )
+    return agg.withColumn(
+        "state", F.when(tripped, F.lit("OPEN")).otherwise(F.lit("CLOSED"))
+    )
