@@ -936,6 +936,58 @@ from hosts
 """
 
 
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain grouping (functions.registrable_domain): subdomains
+    of one registrant collapse into one politeness-budget group, closing the
+    blogspot-style subdomain loophole; multi-part public suffixes (co.uk
+    etc., PSL subset) keep three labels. Host mix spans all three shapes —
+    plain 2-label, deep subdomain, ccTLD registry."""
+    from webcrawler_spark.functions import registrable_domain
+
+    o = _t(spark, sf_dir, "orders")
+    i = F.col("o_orderkey")
+    host = F.when(
+        i % 3 == 0, F.concat(F.lit("a"), (i % 5).cast("string"), F.lit(".example.com"))
+    ).when(
+        i % 3 == 1,
+        F.concat(F.lit("b"), (i % 5).cast("string"), F.lit(".shop"),
+                 (i % 2).cast("string"), F.lit(".co.uk")),
+    ).otherwise(F.concat(F.lit("plain"), (i % 7).cast("string"), F.lit(".net")))
+    h = o.select(host.alias("host"))
+    return (
+        h.withColumn("reg_domain", registrable_domain(F.col("host")))
+        .groupBy("reg_domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count("*").alias("n_urls"),
+        )
+    )
+
+
+def _registrable_sql() -> str:
+    from webcrawler_spark.functions import MULTIPART_SUFFIXES
+
+    multi = " or ".join(f"ends_with(last2, '{s}')" for s in MULTIPART_SUFFIXES)
+    return f"""
+with hosts as (
+  select case when o_orderkey % 3 = 0 then 'a' || (o_orderkey % 5) || '.example.com'
+              when o_orderkey % 3 = 1 then 'b' || (o_orderkey % 5) || '.shop' || (o_orderkey % 2) || '.co.uk'
+              else 'plain' || (o_orderkey % 7) || '.net' end as host
+  from orders),
+parts as (
+  select host, string_split(host, '.') as l, len(string_split(host, '.')) as n from hosts),
+rd as (
+  select host,
+         array_to_string(l[greatest(n - 1, 1):n], '.') as last2,
+         array_to_string(l[greatest(n - 2, 1):n], '.') as last3,
+         n
+  from parts)
+select case when n >= 3 and ({multi}) then last3 else last2 end as reg_domain,
+       count(distinct host) as n_hosts, count(*) as n_urls
+from rd group by 1
+"""
+
+
 def q_host_circuit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host circuit breaker (admission.host_circuit): hosts whose recent
     fetch-error share exceeds 50% over >=5 fetches trip OPEN and sit out the
@@ -3351,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_admission_salted": q_f2_admission_salted,
         "aged_admission": q_aged_admission,
         "host_circuit": q_host_circuit,
+        "registrable_domains": q_registrable_domains,
         "robots_filter": q_robots_filter,
         "t3_urlnorm": q_t3_urlnorm,
         "url_canon_tracking": q_url_canon_tracking,
@@ -3452,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
         "f2_admission_salted": _F2_SALTED_SQL,
         "aged_admission": _AGED_ADMISSION_SQL,
         "host_circuit": _HOST_CIRCUIT_SQL,
+        "registrable_domains": _registrable_sql(),
         "robots_filter": _ROBOTS_SQL,
         "t3_urlnorm": _T3_SQL,
         "url_canon_tracking": _URL_CANON_SQL,

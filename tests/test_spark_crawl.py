@@ -759,3 +759,27 @@ def test_host_circuit_trips_on_error_rate(spark):
         "bad.test": "OPEN", "ok.test": "CLOSED",
         "few.test": "CLOSED", "edge.test": "CLOSED",
     }
+
+
+def test_registrable_domain_heuristic(spark):
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.functions import registrable_domain
+
+    rows = [
+        ("a.example.com",), ("b.c.example.com",), ("example.com",),
+        ("x.site.co.uk",), ("site.co.uk",), ("co.uk",),
+        ("deep.y.gov.uk",), ("plain.net",), ("localhost",),
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    got = {r["host"]: r["rd"] for r in
+           df.select("host", registrable_domain(F.col("host")).alias("rd")).collect()}
+    assert got["a.example.com"] == "example.com"
+    assert got["b.c.example.com"] == "example.com"
+    assert got["example.com"] == "example.com"
+    assert got["x.site.co.uk"] == "site.co.uk"      # PSL: three labels kept
+    assert got["site.co.uk"] == "site.co.uk"
+    assert got["co.uk"] == "co.uk"                   # the suffix itself
+    assert got["deep.y.gov.uk"] == "y.gov.uk"
+    assert got["plain.net"] == "plain.net"
+    assert got["localhost"] == "localhost"           # single label unchanged

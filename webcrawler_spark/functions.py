@@ -134,3 +134,33 @@ def canonicalize_tracking(url: Column) -> Column:
     return F.when(
         F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(base)
+
+
+# Multi-part public suffixes for the registrable-domain heuristic: a compact,
+# documented SUBSET of the publicsuffix.org list covering the common ccTLD
+# second-level registries. Swap in the full PSL (broadcast it) for production.
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.nz", "com.sg",
+)
+
+
+def registrable_domain(host: Column) -> Column:
+    """The registrable (pay-level) domain of a host: the label owned by one
+    registrant, so 'a.example.com' and 'b.example.com' group together while
+    'example.co.uk' keeps three labels (PSL-subset heuristic above).
+
+    Politeness budgets keyed on this instead of the raw host close the
+    subdomain loophole: a site fanning content across thousands of
+    subdomains (blogspot-style) otherwise multiplies its budget by the
+    subdomain count. Pure string algebra — split + slice + array_join."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    is_multi = F.lit(False)
+    for suf in MULTIPART_SUFFIXES:
+        is_multi = is_multi | last2.endswith(F.lit(suf))
+    return F.when((n >= 3) & is_multi, last3).otherwise(last2)
