@@ -1742,6 +1742,54 @@ from m
 """
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-fingerprint candidate pairs (textstats.winnow_pairs — the MOSS
+    match step): PLANTED partial-overlap docs (every 25th doc re-appears with
+    its text's first half under a shifted id) must pair with their source via
+    shared window-min fingerprints; stop-print df cap guards the self-join."""
+    from webcrawler_spark.pipeline.textstats import winnow_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    halves = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), r"\s+"), 1, 30), " "
+        ).alias("text"),
+    )
+    planted = d.select("doc_id", "text").unionByName(halves)
+    return winnow_pairs(planted, min_shared=2)
+
+
+_WINNOW_PAIRS_SQL = f"""
+with docs as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 6000000 as doc_id,
+         array_to_string((string_split_regex(text, '\\s+'))[1:30], ' ') as text
+  from documents where doc_id % 25 = 0),
+toks as (select doc_id, {_TOKS_SQL} as tk from docs),
+g as (
+  select doc_id,
+         case when len(tk) >= 5
+              then list_transform(range(1, len(tk) - 3),
+                   i -> {_HASH64_SQL.format(x="array_to_string(tk[i:i+4], ' ')")})
+              else [{_HASH64_SQL.format(x="array_to_string(tk, ' ')")}] end as h
+  from toks),
+m as (
+  select doc_id,
+         list_distinct(case when len(h) >= 4
+              then list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3]))
+              else [list_min(h)] end) as mins
+  from g),
+fps as (select doc_id as id, unnest(mins) as fp from m),
+rare as (select fp from fps group by fp having count(*) <= 1000),
+pruned as (select fps.* from fps join rare using (fp))
+select l.id as a, r.id as b, count(*)::bigint as n_shared
+from pruned l join pruned r on l.fp = r.fp and l.id < r.id
+group by 1, 2 having count(*) >= 2
+"""
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication signal (dedup.dup_span_stats): per-doc
     share of word 16-grams occurring in >1 doc — the shuffle-friendly
@@ -3469,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprints": q_winnow_fps,
+        "winnow_pairs": q_winnow_pairs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -3569,6 +3618,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "winnow_pairs": _WINNOW_PAIRS_SQL,
         "multimodal_meta": _MULTIMODAL_META_SQL,
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

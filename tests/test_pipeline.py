@@ -1073,3 +1073,20 @@ def test_bigram_logprob_matches_python(spark):
     assert got[1]["avg_logp"] == pytest.approx(round(d1, 4), abs=1e-4)
     d2 = (math.log(p(3, 3, 3)) + math.log(p(1, 2, 1))) / 2
     assert got[2]["avg_logp"] == pytest.approx(round(d2, 4), abs=1e-4)
+
+
+def test_winnow_pairs_partial_overlap_and_cap(spark):
+    from webcrawler_spark.pipeline.textstats import winnow_pairs
+
+    head = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (1, head + " " + " ".join(f"u1x{i}" for i in range(20))),
+        (2, head + " " + " ".join(f"u2x{i}" for i in range(20))),  # shares head with 1
+        (3, " ".join(f"u3x{i}" for i in range(40))),               # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["n_shared"] for r in winnow_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+    # a df cap of 1 drops every shared fingerprint -> no pairs survive
+    assert winnow_pairs(df, max_df=1).count() == 0

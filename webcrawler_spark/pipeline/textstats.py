@@ -365,3 +365,54 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), decimals).alias("avg_logp"),
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs from winnowing fingerprints: docs sharing at
+    least ``min_shared`` fingerprints — the inverted-index join over the
+    SELECTED (window-min) gram hashes, i.e. the MOSS match step. Because
+    winnowing guarantees a fingerprint for every shared >= w+k-1-token run,
+    this finds positional plagiarism/boilerplate that whole-doc MinHash
+    dilutes away on long documents.
+
+    Same scale guards as the other pair generators: fingerprints appearing
+    in more than ``max_df`` docs are dropped as boilerplate stop-prints
+    (audit separately) before the self-join, so no fingerprint fans out
+    quadratically. Returns (a, b, n_shared >= min_shared), a < b."""
+    from pyspark.sql import Window
+
+    # Lazy checkpoint BEFORE the explode, for two reasons:
+    # (1) explode lets the optimizer inline the _h gram-hash array into the
+    #     window-min lambda, which then RE-HASHES every gram per window —
+    #     O(grams^2 * k) sha256 per doc (measured 22s vs 0.2s at sf0.01);
+    #     the checkpoint's RDD boundary pins _h as a materialized column.
+    # (2) the plan below references the fingerprints three times (df-cap +
+    #     both self-join sides); the checkpoint evaluates the subtree once.
+    arrays = (
+        winnow_fingerprints(df, text_col, k, w)
+        .select(F.col(id_col).alias("id"), "winnow_fps")
+        .localCheckpoint(eager=False)
+    )
+    fps = arrays.select("id", F.explode("winnow_fps").alias("fp"))
+    pruned = (
+        fps.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    pairs = (
+        pruned.alias("l")
+        .join(pruned.alias("r"), "fp")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs
