@@ -2638,6 +2638,50 @@ where rnk <= 5
 """
 
 
+def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (search.refresh_postings ∘
+    recrawl_diff): prior crawl = docs with doc_id % 5 != 4; recrawl drops
+    doc_id % 5 == 0 (GONE), appends a token to doc_id % 4 == 0 (MODIFIED),
+    and adds the % 5 == 4 docs (NEW). The refreshed index must equal
+    indexing the post-recrawl corpus from scratch — which is exactly what
+    the oracle computes, so the kept/dropped/fresh merge is genuinely
+    cross-checked. Output: per-doc index stats."""
+    from webcrawler_spark.operators.recrawl import recrawl_diff
+    from webcrawler_spark.pipeline.search import postings, refresh_postings
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    prior = d.filter(F.col("doc_id").cast("long") % 5 != 4)
+    cur = d.filter(F.col("doc_id").cast("long") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").cast("long") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" freshtoken")),
+        ).otherwise(F.col("text")),
+    )
+    h = lambda df: df.select(
+        F.col("doc_id").alias("url"), F.lower(F.sha2(F.col("text"), 256)).alias("hash")
+    )
+    diff = recrawl_diff(h(prior), h(cur))
+    refreshed = refresh_postings(postings(prior, "doc_id"), diff, cur, "doc_id")
+    return refreshed.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"), F.sum("tf").alias("sum_tf")
+    )
+
+
+_INDEX_REFRESH_SQL = f"""
+with cur as (
+  select doc_id::varchar as doc_id,
+         text || case when doc_id % 4 = 0 then ' freshtoken' else '' end as text
+  from documents where doc_id % 5 != 0),
+toks as (select doc_id, unnest({_TOKS_SQL}) as term from cur),
+p as (select term, doc_id, count(*)::bigint as tf from toks group by 1, 2)
+select doc_id, count(*)::bigint as n_terms, sum(tf) as sum_tf
+from p group by doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_quality
 
@@ -3511,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_phrase": q_search_phrase,
         "tfidf_keywords": q_tfidf_keywords,
+        "index_refresh": q_index_refresh,
         "warc_roundtrip": q_warc_roundtrip,
         "text_quality": q_text_quality,
         "quality_deciles": q_quality_deciles,
@@ -3612,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": _BM25_SQL,
         "search_phrase": _SEARCH_PHRASE_SQL,
         "tfidf_keywords": _TFIDF_SQL,
+        "index_refresh": _INDEX_REFRESH_SQL,
         "warc_roundtrip": _WARC_SQL,
         "text_quality": _QUALITY_SQL,
         "quality_deciles": _QUALITY_DECILES_SQL,

@@ -185,3 +185,23 @@ def test_tfidf_topk_terms_matches_python(spark):
     # doc 3: date tf3 wins; cherry scores 0
     assert got[(3, 1)] == ("date", s(3, "date"))
     assert got[(3, 2)] == ("cherry", 0.0)
+
+
+def test_refresh_postings_equals_reindex_from_scratch(spark):
+    from webcrawler_spark.operators.recrawl import recrawl_diff
+    from webcrawler_spark.pipeline.search import postings, refresh_postings
+
+    prior = spark.createDataFrame(
+        [("a", "old words here"), ("b", "stable text"), ("c", "will vanish")],
+        "doc_id string, text string",
+    )
+    cur = spark.createDataFrame(
+        [("a", "new words now"), ("b", "stable text"), ("d", "brand new doc")],
+        "doc_id string, text string",
+    )
+    h = lambda df: df.selectExpr("doc_id as url", "lower(sha2(text, 256)) as hash")
+    diff = recrawl_diff(h(prior), h(cur))
+    got = refresh_postings(postings(prior, "doc_id"), diff, cur, "doc_id")
+    want = postings(cur, "doc_id")     # ground truth: full re-index of cur
+    key = lambda r: (r["doc_id"], r["term"], r["tf"])
+    assert {key(r) for r in got.collect()} == {key(r) for r in want.collect()}
