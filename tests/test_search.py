@@ -205,3 +205,25 @@ def test_refresh_postings_equals_reindex_from_scratch(spark):
     want = postings(cur, "doc_id")     # ground truth: full re-index of cur
     key = lambda r: (r["doc_id"], r["term"], r["tf"])
     assert {key(r) for r in got.collect()} == {key(r) for r in want.collect()}
+
+
+def test_index_job_build_query_equals_direct_bm25(spark, tmp_path):
+    """The standing index (jobs/index.py build) must serve the exact scores
+    direct corpus scoring gives — index round-trip changes nothing."""
+    from jobs.index import build, query
+
+    from webcrawler_spark.pipeline.search import bm25_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    b = build(spark, f"{SF_DIR}/documents.parquet", idx, buckets=4)
+    assert b["docs"] == docs.count() and b["postings"] > 0
+
+    terms = ["scan", "column"]
+    got = query(spark, idx, terms, k=5)["hits"]
+    want = [
+        [r["doc_id"], r["score"]]
+        for r in bm25_scores(docs, terms)
+        .orderBy(F.col("score").desc(), F.col("doc_id")).limit(5).collect()
+    ]
+    assert got == want

@@ -78,9 +78,31 @@ def bm25_scores(
     All-matching-docs output (no top-k) keeps the row set deterministic;
     rank/limit on (score desc, doc_id) downstream for a search page.
     """
+    return bm25_from_index(
+        postings(df, id_col, text_col),
+        doc_lengths(df, id_col, text_col),
+        query_terms,
+        k1=k1,
+        b=b,
+        decimals=decimals,
+    )
+
+
+def bm25_from_index(
+    post_all: DataFrame,
+    dl: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: Optional[int] = 4,
+) -> DataFrame:
+    """BM25 over a STANDING index — prebuilt (term, doc_id, tf) postings and
+    (doc_id, dl) lengths tables (jobs/index.py writes them term-bucketed) —
+    instead of tokenizing the corpus at query time. The term IN-list filter
+    lands on the postings scan, so query cost is proportional to the matched
+    postings; on a term-bucketed layout it prunes to the touched buckets."""
     terms = sorted({t.lower() for t in query_terms})
-    post = postings(df, id_col, text_col).filter(F.col("term").isin(terms))
-    dl = doc_lengths(df, id_col, text_col)
+    post = post_all.filter(F.col("term").isin(terms))
 
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
