@@ -2611,6 +2611,49 @@ select doc_id, n_matches from m where n_matches > 0
 """
 
 
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (slop) search (search.proximity_match): 'alpha' and 'gamma'
+    within a 5-token window, any order. Planted: every 20th doc carries the
+    terms 2 apart (matches), every 30th carries them 4 apart (matches at
+    window 5), every 45th carries them 7 apart (must NOT match). The oracle
+    scans token positions directly — the postings evaluation is genuinely
+    cross-checked."""
+    from webcrawler_spark.pipeline.search import proximity_match
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 20 == 0, F.lit(" alpha beta gamma")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 30 == 0, F.lit(" alpha x y z gamma")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 45 == 0, F.lit(" alpha q w e r t y gamma")).otherwise(F.lit("")),
+        ),
+    )
+    return proximity_match(planted, ["alpha", "gamma"], window=5)
+
+
+_SEARCH_PROXIMITY_SQL = f"""
+with docs as (
+  select doc_id,
+         text || case when doc_id % 20 = 0 then ' alpha beta gamma' else '' end
+              || case when doc_id % 30 = 0 then ' alpha x y z gamma' else '' end
+              || case when doc_id % 45 = 0 then ' alpha q w e r t y gamma' else '' end as text
+  from documents),
+toks as (select doc_id, {_TOKS_SQL} as tk from docs),
+pos as (
+  select doc_id,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = 'alpha') as pa,
+         list_filter(range(1, len(tk) + 1), i -> tk[i] = 'gamma') as pg
+  from toks),
+m as (
+  select doc_id,
+         len(list_filter(pa, p -> len(list_filter(pg, q -> abs(q - p) <= 4)) > 0))::bigint as n_spans
+  from pos)
+select doc_id, n_spans from m where n_spans > 0
+"""
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 TF-IDF keywords (search.tfidf_topk_terms): postings and
     document frequencies share the term key (reused exchange), top-k is a
@@ -3554,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lp": q_text_bigram_lp,
         "search_bm25": q_search_bm25,
         "search_phrase": q_search_phrase,
+        "search_proximity": q_search_proximity,
         "tfidf_keywords": q_tfidf_keywords,
         "index_refresh": q_index_refresh,
         "warc_roundtrip": q_warc_roundtrip,
@@ -3656,6 +3700,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_lp": _BIGRAM_LP_SQL,
         "search_bm25": _BM25_SQL,
         "search_phrase": _SEARCH_PHRASE_SQL,
+        "search_proximity": _SEARCH_PROXIMITY_SQL,
         "tfidf_keywords": _TFIDF_SQL,
         "index_refresh": _INDEX_REFRESH_SQL,
         "warc_roundtrip": _WARC_SQL,

@@ -227,3 +227,21 @@ def test_index_job_build_query_equals_direct_bm25(spark, tmp_path):
         .orderBy(F.col("score").desc(), F.col("doc_id")).limit(5).collect()
     ]
     assert got == want
+
+
+def test_proximity_match_window_semantics(spark):
+    from webcrawler_spark.pipeline.search import proximity_match
+
+    rows = [
+        (1, "alpha x gamma"),                   # distance 2: in window 3
+        (2, "gamma x alpha"),                   # reverse order, distance 2
+        (3, "alpha q w e r gamma"),             # distance 5: outside window 3
+        (4, "alpha only here"),                 # missing term
+        (5, "alpha gamma alpha x x x x gamma"), # two anchoring alphas match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_spans"]
+           for r in proximity_match(df, ["alpha", "gamma"], window=3).collect()}
+    assert 1 in got and 3 not in got and 4 not in got
+    assert got[2] == 1                          # order-free
+    assert got[5] == 2                          # both alpha anchors have a gamma in range

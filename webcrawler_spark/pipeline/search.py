@@ -286,3 +286,44 @@ def refresh_postings(
     fresh_docs = new_docs.join(fresh_ids, id_col, "left_semi")
     fresh = postings(fresh_docs, id_col, text_col)
     return kept.unionByName(fresh)
+
+
+def proximity_match(
+    df: DataFrame,
+    terms: Sequence[str],
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity search: docs where ALL query terms co-occur within a
+    ``window``-token span, any order — the slop query between exact phrase
+    (window = |terms|-1, ordered) and plain AND. Classic positional-postings
+    evaluation: per doc, collect each distinct term's position list; a span
+    anchored at position p of the FIRST term matches when every other term
+    has a position in [p - window + 1, p + window - 1].
+
+    Returns (doc_id, n_spans > 0): the count of anchoring positions with a
+    full co-occurrence. Same plan as phrase_match: term IN-list prunes the
+    postings, one per-doc aggregate, array algebra inside."""
+    uniq = sorted(set(terms))
+    pp = positional_postings(df, id_col, text_col).filter(F.col("term").isin(uniq))
+    per_doc = pp.groupBy("doc_id").agg(
+        F.count("*").alias("_nterms"),
+        F.array_sort(F.collect_list(F.struct("term", "positions"))).alias("_tp"),
+    ).filter(F.col("_nterms") == len(uniq))
+    anchor = F.col("_tp")[0]["positions"]
+    others = F.slice(F.col("_tp"), 2, len(uniq) - 1) if len(uniq) > 1 else F.array()
+    spans = F.filter(
+        anchor,
+        lambda p: F.forall(
+            others,
+            lambda t: F.exists(
+                t["positions"],
+                lambda q: (q >= p - (window - 1)) & (q <= p + (window - 1)),
+            ),
+        ),
+    )
+    return (
+        per_doc.select("doc_id", F.size(spans).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+    )
