@@ -55,11 +55,18 @@ def test_remove_html_tags_fixpoint_and_complete(s):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(max_size=80), st.text(max_size=80))
+@given(
+    st.text(st.characters(min_codepoint=1), max_size=80),
+    st.text(st.characters(min_codepoint=1), max_size=80),
+)
 def test_compute_hash_is_injective_on_the_separator(url, content):
     """url+NUL+content framing: moving a character across the separator must
     change the hash (the reference's NUL framing exists exactly for this —
-    WebPageContent.java:213-225)."""
+    WebPageContent.java:213-225). NUL itself is excluded from the data: the
+    framing is NOT injective when the payload contains the separator byte
+    (hypothesis found url='\\x00', content='' colliding with the swap — the
+    reference's '\\0' framing has the identical property; URLs and extracted
+    text never legitimately contain NUL)."""
     h = compute_hash(url, content)
     assert re.fullmatch(r"[0-9a-f]{64}", h)
     if url:
@@ -88,3 +95,38 @@ def test_host_hash_range_and_determinism(host):
     v = host_hash(host)
     assert 0 <= v < (1 << 60)
     assert host_hash(host) == v
+
+
+# -- DOM kernel: total on arbitrary bytes (a crawler parses hostile HTML) ---
+
+html_hostile = st.lists(
+    st.sampled_from(
+        list("<>/=\"'! -abdivspn&;#\n\r\t")
+        + ["<!--", "-->", "<script>", "</", "<p>", "</div>", "<a href=", "&amp;"]
+    ),
+    max_size=80,
+).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_hostile)
+def test_extract_page_total_and_text_normalized(html):
+    """The page kernel must be TOTAL on arbitrary input (no crash, ever) and
+    its text output must satisfy the Jsoup text() contract: no leading or
+    trailing whitespace and no internal whitespace runs."""
+    from webcrawler_spark.kernel.extract import extract_page
+
+    out = extract_page(html, "https://x.test/a")
+    assert out.text == out.text.strip()
+    assert "  " not in out.text and "\n" not in out.text and "\t" not in out.text
+    for href, pos in out.links:
+        assert isinstance(href, str) and isinstance(pos, int)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_extract_page_total_on_arbitrary_bytes(raw):
+    from webcrawler_spark.kernel.extract import extract_page
+
+    out = extract_page(raw, "https://x.test/a")     # bytes: decode w/ replace
+    assert out.text == out.text.strip()
