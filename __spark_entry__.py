@@ -1830,6 +1830,46 @@ group by tg.doc_id
 """
 
 
+def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (textclean.with_nfc_text, the Arrow-batched
+    pandas-UDF path): decomposed sequences PLANTED into every 10th doc
+    ('e'+U+0301, 'a'+U+030A, control chars) must collapse to their
+    precomposed forms with controls stripped; the oracle uses DuckDB's
+    utf8proc nfc_normalize — two independent implementations of the same
+    Unicode standard."""
+    from webcrawler_spark.pipeline.textclean import with_nfc_text
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" café Ångström \x01ctl\x02")),
+        ).otherwise(F.col("text")),
+    )
+    out = with_nfc_text(planted)
+    return out.select(
+        "doc_id",
+        F.length("text_nfc").alias("n_chars_nfc"),
+        F.lower(F.sha2(F.col("text_nfc"), 256)).alias("nfc_sha"),
+    )
+
+
+_TEXT_NFC_SQL = r"""
+with docs as (
+  select doc_id,
+         text || case when doc_id % 10 = 0
+                      then ' cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm ' || chr(1) || 'ctl' || chr(2)
+                      else '' end as text
+  from documents),
+n as (
+  select doc_id,
+         regexp_replace(nfc_normalize(text), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') as t
+  from docs)
+select doc_id, length(t) as n_chars_nfc, sha256(t) as nfc_sha from n
+"""
+
+
 def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rule battery (textstats.with_gopher_flags):
     per-doc boolean flags for the published Rae-et-al heuristics (word count,
@@ -3630,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "robots_sitemap_chain": q_robots_sitemap_chain,
         "text_line_dedup": q_text_line_dedup,
+        "text_nfc": q_text_nfc,
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
     }
@@ -3733,6 +3774,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,
         "robots_sitemap_chain": _ROBOTS_SITEMAP_CHAIN_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,
+        "text_nfc": _TEXT_NFC_SQL,
         "text_pii_scrub": _PII_SCRUB_SQL,
         "text_repetition": _REPETITION_SQL,
     }

@@ -134,3 +134,18 @@ def test_repetition_stats_degenerate_docs(spark):
             out[i]["dup_trigram_frac"],
         ) == (0, 0, 0)
     assert out[3]["top_bigram_frac"] == 10000  # single bigram = 1/1
+
+
+def test_nfc_normalization_and_control_strip(spark):
+    import unicodedata
+
+    from webcrawler_spark.pipeline.textclean import with_nfc_text
+
+    decomposed = "café Ångström"
+    rows = [(1, decomposed), (2, "plain ascii"), (3, "ctl\x01\x02 keep\ttab\nnl"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_nfc"] for r in with_nfc_text(df).collect()}
+    assert got[1] == unicodedata.normalize("NFC", decomposed) == "café Ångström"
+    assert got[2] == "plain ascii"
+    assert got[3] == "ctl keep\ttab\nnl"     # C0 controls gone, tab/nl kept
+    assert got[4] is None

@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -190,3 +191,35 @@ def repetition_stats(
             .alias("dup_trigram_frac"),
         )
     )
+
+
+def with_nfc_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Adds ``out_col``: Unicode NFC normalization of the text plus control-
+    character removal (C0 controls except tab/newline) — the canonical first
+    cleaning step for web text, where the same glyph arrives precomposed
+    ('é', U+00E9) or decomposed ('e' + U+0301) and would defeat every exact
+    hash/dedup downstream.
+
+    This is the engine's text-side Arrow path: Spark has no NFC built-in, so
+    normalization runs as a vectorized pandas UDF (one Arrow batch crossing,
+    ``unicodedata.normalize`` per value — C-implemented, no Python-level
+    per-char work). The DuckDB oracle uses ``nfc_normalize`` (utf8proc);
+    both implement the same Unicode normalization standard.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(col: pd.Series) -> pd.Series:
+        import re as _re
+        import unicodedata
+
+        ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+        return col.map(
+            lambda s: None
+            if s is None
+            else ctrl.sub("", unicodedata.normalize("NFC", s))
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))
