@@ -1552,6 +1552,37 @@ group by source
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window training-sequence chunking (pipeline/sampling.py
+    chunk_docs): 24-token windows advancing by 16, final clipped window
+    always emitted so every token is covered. Narrow map + explode — zero
+    shuffle; chunk identity is a pure function of the text (sha256), so
+    re-chunking is idempotent and chunk tables merge across runs."""
+    from webcrawler_spark.pipeline.sampling import chunk_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_docs(d, chunk_tokens=24, stride=16)
+
+
+_DOC_CHUNKS_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+base as (select doc_id, tk, len(tk) as n from toks where len(tk) > 0),
+st as (select doc_id, tk, greatest(n - 24, 0) + 1 as m from base),
+sl as (select doc_id, tk,
+         list_sort(list_distinct(list_append(range(1, m + 1, 16), m))) as starts
+       from st),
+expl as (select doc_id, tk,
+           unnest(list_transform(starts, (x, i) -> {{'s': x, 'i': i}})) as u
+         from sl)
+select doc_id,
+       (u.i - 1)::int as chunk_idx,
+       u.s::int as start_tok,
+       len(list_slice(tk, u.s, u.s + 23))::bigint as n_tokens,
+       sha256(array_to_string(list_slice(tk, u.s, u.s + 23), ' ')) as chunk_hash
+from expl
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-50 token vocabulary (wordcount shape): explode + map-side
     partial count + one tok shuffle + TakeOrderedAndProject. Deterministic
@@ -3600,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
+        "doc_chunks": q_doc_chunks,
         "vocab_topk": q_vocab_topk,
         "shard_pack": q_shard_pack,
         "domain_mixture": q_domain_mixture,
@@ -3706,6 +3738,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": _EVENTS_JSON_SQL,
         "corpus_split": _CORPUS_SPLIT_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "shard_pack": _SHARD_PACK_SQL,
         "domain_mixture": _mixture_sql(),

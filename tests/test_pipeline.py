@@ -1090,3 +1090,50 @@ def test_winnow_pairs_partial_overlap_and_cap(spark):
     assert all(3 not in p for p in pairs)
     # a df cap of 1 drops every shared fingerprint -> no pairs survive
     assert winnow_pairs(df, max_df=1).count() == 0
+
+
+def test_chunk_docs_windows_and_coverage(spark):
+    import hashlib
+
+    from webcrawler_spark.pipeline.sampling import chunk_docs
+
+    toks10 = [f"t{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(toks10)),      # 10 tokens, chunk 4 stride 2 -> starts 1,3,5,7
+        (2, "one two three"),       # shorter than chunk -> one whole-doc window
+        (3, "  \n\t  "),            # zero tokens -> no rows
+        (4, " ".join(f"u{i}" for i in range(9))),  # n=9: grid 1,3,5 + clipped 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_docs(df, chunk_tokens=4, stride=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in got
+    d1 = sorted(got[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in d1] == [1, 3, 5, 7]
+    assert all(r["n_tokens"] == 4 for r in d1)
+    # chunk text hash is sha256 of the space-joined window
+    want = hashlib.sha256(" ".join(toks10[0:4]).encode()).hexdigest()
+    assert d1[0]["chunk_hash"] == want
+    # short doc: single clipped whole-doc window
+    d2 = got[2]
+    assert len(d2) == 1 and d2[0]["start_tok"] == 1 and d2[0]["n_tokens"] == 3
+    # unaligned tail: final clipped window lands at n - chunk + 1 = 6
+    d4 = sorted(got[4], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in d4] == [1, 3, 5, 6]
+    # every token covered: union of [s, s+4) spans 1..9
+    covered = set()
+    for r in d4:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(1, 10))
+
+
+def test_chunk_docs_rejects_bad_params(spark):
+    from webcrawler_spark.pipeline.sampling import chunk_docs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_docs(df, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_docs(df, chunk_tokens=0, stride=1)

@@ -30,7 +30,7 @@ from typing import Dict, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textprep import hash64
+from .textprep import hash64, spread, tokens_col
 
 N_BUCKETS = 1000
 
@@ -137,6 +137,66 @@ def pack_shards(
     return packed.withColumn(
         "shard_id", F.expr(f"_cumb div {int(target_weight)}L")
     ).drop("_bkt", "_w", "_cum_in", "_off", "_cumb")
+
+
+def chunk_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window training-sequence chunking: split every document into
+    fixed-budget token windows of ``chunk_tokens`` tokens, advancing by
+    ``stride`` tokens (stride < chunk_tokens gives the standard LM overlap so
+    no context is lost at window boundaries). A final clipped window is always
+    emitted at ``n - chunk_tokens + 1`` when the stride grid doesn't land
+    there, so every token of every doc is covered by >= 1 chunk.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk_hash):
+    chunk_idx is 0-based in window order, start_tok is the 1-based token
+    offset, n_tokens the actual window size (== chunk_tokens except for
+    whole-doc windows of short docs), chunk_hash = sha256 of the
+    space-rejoined window. Zero-token docs emit no rows.
+
+    Scale shape at 100 TB: narrow map + explode — NO shuffle at all. The
+    window arithmetic (sequence/slice/array_join) happens per row; output
+    row count is ~n_tokens/stride per doc. Chunk identity is a pure function
+    of the text, so re-chunking after a re-crawl is idempotent and chunk
+    tables from different runs are mergeable by hash.
+    """
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    if stride > chunk_tokens:
+        raise ValueError("stride > chunk_tokens would skip tokens between windows")
+    toks = tokens_col(F.col(text_col))
+    base = (
+        spread(df)
+        .select(F.col(id_col), toks.alias("_tk"))
+        .withColumn("_n", F.size("_tk"))
+        .filter(F.col("_n") > 0)
+    )
+    # last valid start m = max(n - chunk, 0) + 1; the stride grid 1, 1+s, ...
+    # may stop short of m, so m is appended (array_distinct for the aligned
+    # case, array_sort to keep window order deterministic).
+    m = F.greatest(F.col("_n") - chunk_tokens, F.lit(0)) + F.lit(1)
+    starts = F.array_sort(
+        F.array_distinct(
+            F.concat(F.sequence(F.lit(1), m, F.lit(stride)), F.array(m))
+        )
+    )
+    ex = base.select(
+        F.col(id_col), F.col("_tk"), F.col("_n"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    win = F.slice(F.col("_tk"), F.col("start_tok"), chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("start_tok"),
+        F.size(win).cast("long").alias("n_tokens"),
+        F.sha2(F.array_join(win, " "), 256).alias("chunk_hash"),
+    )
 
 
 def mixture_rates(
