@@ -2612,6 +2612,32 @@ from documents
 _BM25_TERMS = ["merge", "spark", "vector"]
 
 
+def q_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (ES bool-query semantics: should with
+    minimum_should_match=2 of 3 terms, plus a must_not exclusion). Term
+    IN-lists prune the postings before any join; exclusion is a left_anti
+    against the tiny must_not slice — cost ~ matched postings."""
+    from webcrawler_spark.pipeline.search import boolean_match
+
+    d = _t(spark, sf_dir, "documents")
+    return boolean_match(
+        d, should=_BM25_TERMS, must_not=["scan"], min_should_match=2
+    )
+
+
+_SEARCH_BOOLEAN_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+post as (select doc_id, t as term, count(*)::bigint as tf
+         from toks, unnest(tk) as u(t)
+         where t in ('merge', 'spark', 'vector', 'scan') group by 1, 2),
+hits as (select doc_id, count(*)::bigint as n_hit_terms, sum(tf)::bigint as sum_tf
+         from post where term != 'scan' group by doc_id
+         having count(*) >= 2),
+excl as (select distinct doc_id from post where term = 'scan')
+select h.* from hits h anti join excl e using (doc_id)
+"""
+
+
 def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance scoring over the document table — the search surface of
     the Elasticsearch tier the reference indexes into (ElasticRestClient.java;
@@ -3668,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lp": q_text_unigram_lp,
         "text_bigram_lp": q_text_bigram_lp,
         "search_bm25": q_search_bm25,
+        "search_boolean": q_search_boolean,
         "search_phrase": q_search_phrase,
         "search_proximity": q_search_proximity,
         "tfidf_keywords": q_tfidf_keywords,
@@ -3773,6 +3800,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_lp": _UNIGRAM_LP_SQL,
         "text_bigram_lp": _BIGRAM_LP_SQL,
         "search_bm25": _BM25_SQL,
+        "search_boolean": _SEARCH_BOOLEAN_SQL,
         "search_phrase": _SEARCH_PHRASE_SQL,
         "search_proximity": _SEARCH_PROXIMITY_SQL,
         "tfidf_keywords": _TFIDF_SQL,

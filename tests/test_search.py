@@ -245,3 +245,32 @@ def test_proximity_match_window_semantics(spark):
     assert 1 in got and 3 not in got and 4 not in got
     assert got[2] == 1                          # order-free
     assert got[5] == 2                          # both alpha anchors have a gamma in range
+
+
+def test_boolean_match_semantics(spark):
+    from webcrawler_spark.pipeline.search import boolean_match
+
+    rows = [
+        (1, "alpha beta gamma"),          # hits alpha+beta
+        (2, "alpha alpha delta"),         # hits alpha only
+        (3, "alpha beta banned term"),    # would hit, excluded by must_not
+        (4, "unrelated words only"),      # no hits
+        (5, "beta gamma gamma"),          # hits beta+gamma
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boolean_match(
+        df, should=["alpha", "beta", "gamma"], must_not=["banned"],
+        min_should_match=2,
+    ).collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["n_hit_terms"] == 3 and out[1]["sum_tf"] == 3
+    assert out[5]["n_hit_terms"] == 2 and out[5]["sum_tf"] == 3
+    # AND default: every should term required; no must_not -> doc 3 counts
+    allhit = boolean_match(df, should=["alpha", "beta"]).collect()
+    assert {r["doc_id"] for r in allhit} == {1, 3}
+    # case-normalized + dedup of the term list
+    up = boolean_match(df, should=["ALPHA", "alpha"], min_should_match=1).collect()
+    assert {r["doc_id"] for r in up} == {1, 2, 3}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        boolean_match(df, should=[])

@@ -327,3 +327,46 @@ def proximity_match(
         per_doc.select("doc_id", F.size(spans).cast("long").alias("n_spans"))
         .filter(F.col("n_spans") > 0)
     )
+
+
+def boolean_match(
+    df: DataFrame,
+    should: Sequence[str],
+    must_not: Sequence[str] = (),
+    min_should_match: Optional[int] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval — the unscored half of the reference's search tier
+    (Elasticsearch ``bool`` query: ``should`` with ``minimum_should_match``
+    plus ``must_not``; `ElasticRestClient.java:252-275` exposes only
+    match_all, but the ES surface the reference indexes into is queried this
+    way). min_should_match = len(should) gives conjunctive AND.
+
+    Returns (doc_id, n_hit_terms, sum_tf) for docs matching >=
+    ``min_should_match`` distinct should-terms and NO must_not term.
+
+    Plan at 100 TB: both term IN-list filters land on the postings scan
+    (cost ~ matched postings, not corpus); one doc-keyed combiner aggregate
+    for the should side; the exclusion is a left_anti against the (tiny)
+    must_not postings slice — no window, no corpus shuffle.
+    """
+    s_terms = sorted({t.lower() for t in should})
+    n_terms = sorted({t.lower() for t in must_not})
+    if not s_terms:
+        raise ValueError("boolean_match needs at least one should-term")
+    need = len(s_terms) if min_should_match is None else min_should_match
+    post = postings(df, id_col, text_col)
+    hits = (
+        post.filter(F.col("term").isin(s_terms))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hit_terms"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+        .filter(F.col("n_hit_terms") >= need)
+    )
+    if n_terms:
+        excl = post.filter(F.col("term").isin(n_terms)).select("doc_id")
+        hits = hits.join(excl, "doc_id", "left_anti")
+    return hits
