@@ -3506,6 +3506,57 @@ from marked group by doc_id
 """
 
 
+_SHARED_LINE = "A perfectly normal sentence that many sites quote."
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template boilerplate removal (textclean.host_boilerplate): a
+    per-host nav line planted in every doc of its host is removed, while a
+    line shared by 20 docs across 20 DIFFERENT hosts (one each) survives —
+    the case corpus-wide line dedup over-triggers on. cleaned_hash pins the
+    surviving text."""
+    from webcrawler_spark.pipeline.textclean import host_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("NAV MENU for "), F.col("source")),
+        F.col("text"),
+        F.when(F.col("doc_id") < 20, F.lit(_SHARED_LINE)),
+    )
+    return host_boilerplate(
+        d.select("doc_id", F.col("source").alias("host"), txt.alias("text"))
+    )
+
+
+_TEXT_BOILERPLATE_SQL = f"""
+with docs as (
+  select doc_id, source as host,
+         concat_ws(chr(10), 'NAV MENU for ' || source, text,
+                   case when doc_id < 20 then '{_SHARED_LINE}' end) as text
+  from documents),
+lines as (
+  select doc_id, host, x.line as line, x.ord as ord from (
+    select doc_id, host,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (x, i) -> {{'line': x, 'ord': i}})) as x
+    from docs)),
+norm as (select doc_id, host, line, ord, trim(line) as nl from lines),
+hot as (
+  select host, sha256(nl) as lh from norm where nl != ''
+  group by 1, 2 having count(distinct doc_id) >= 2),
+marked as (
+  select n.doc_id, n.host, n.line, n.ord, (h.lh is not null) as is_hot
+  from norm n left join hot h on n.host = h.host and sha256(n.nl) = h.lh)
+select doc_id, host, count(*) as n_lines,
+       sum(case when is_hot then 1 else 0 end)::bigint as n_removed,
+       sha256(coalesce(
+         string_agg(case when not is_hot then line end, chr(10) order by ord),
+         '')) as cleaned_hash
+from marked group by doc_id, host
+"""
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction with typed tokens: emails / IPv4 / phone numbers planted
     per doc_id residue class so every branch (single, multiple, mixed
@@ -3729,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "robots_sitemap_chain": q_robots_sitemap_chain,
         "text_line_dedup": q_text_line_dedup,
+        "text_boilerplate": q_text_boilerplate,
         "text_nfc": q_text_nfc,
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
@@ -3835,6 +3887,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_seeds": _SITEMAP_SEEDS_SQL,
         "robots_sitemap_chain": _ROBOTS_SITEMAP_CHAIN_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,
+        "text_boilerplate": _TEXT_BOILERPLATE_SQL,
         "text_nfc": _TEXT_NFC_SQL,
         "text_pii_scrub": _PII_SCRUB_SQL,
         "text_repetition": _REPETITION_SQL,

@@ -149,3 +149,34 @@ def test_nfc_normalization_and_control_strip(spark):
     assert got[2] == "plain ascii"
     assert got[3] == "ctl keep\ttab\nnl"     # C0 controls gone, tab/nl kept
     assert got[4] is None
+
+
+def test_host_boilerplate_site_scoped(spark):
+    import hashlib
+
+    from webcrawler_spark.pipeline.textclean import host_boilerplate
+
+    shared = "same sentence on unrelated sites"
+    rows = [
+        (1, "a.com", "NAV A\nreal content one\n" + shared),
+        (2, "a.com", "NAV A\nreal content two"),
+        (3, "b.com", "NAV B\nother content\n" + shared),
+        (4, "b.com", "NAV B\nmore content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r["doc_id"]: r for r in host_boilerplate(df).collect()}
+    # per-host nav removed everywhere
+    assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3, 4))
+    # cross-host shared line SURVIVES (df=1 within each host)
+    want1 = hashlib.sha256(
+        ("real content one\n" + shared).encode()
+    ).hexdigest()
+    assert out[1]["cleaned_hash"] == want1
+    assert out[1]["n_lines"] == 3
+    # whitespace-variant lines count as the same template line
+    df2 = spark.createDataFrame(
+        [(1, "c.com", "  footer  \nx"), (2, "c.com", "footer\ny")],
+        "doc_id long, host string, text string",
+    )
+    out2 = {r["doc_id"]: r for r in host_boilerplate(df2).collect()}
+    assert out2[1]["n_removed"] == 1 and out2[2]["n_removed"] == 1

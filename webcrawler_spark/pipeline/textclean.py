@@ -223,3 +223,67 @@ def with_nfc_text(
         )
 
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+def host_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Site-template boilerplate removal: a (trimmed, non-empty) line is
+    boilerplate iff it occurs in >= ``min_df`` distinct docs OF THE SAME
+    HOST. This is the site-scoped refinement of C4's corpus-wide
+    ``line_dedup``: nav chrome / cookie banners / footers repeat within a
+    site, while a common English sentence repeating across UNRELATED sites
+    is content and must survive (global line-dedup at a low threshold would
+    nuke it — the known C4 over-trigger).
+
+    Returns (doc_id, host, n_lines, n_removed, cleaned_hash) with
+    cleaned_hash = sha256 of the kept lines re-joined in original order.
+
+    Scale shape: identical to line_dedup except every exchange keys on
+    (host, line_hash) instead of line_hash — hot-line tables are per-site
+    and tiny, the join back rides the same composite key, and host adds
+    entropy that breaks the one-hot-line skew a global banner would create.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(host_col).alias("_host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lh", F.sha2(F.trim(F.col("_line")), 256))
+    hot = (
+        lines.filter(F.trim(F.col("_line")) != "")
+        .groupBy("_host", "_lh")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_host", "_lh", F.lit(1).alias("_hot"))
+    )
+    marked = lines.join(hot, ["_host", "_lh"], "left")
+    return (
+        marked.groupBy("_id", "_host")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.coalesce(F.sum("_hot"), F.lit(0)).cast("long").alias("n_removed"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_hot").isNull(),
+                                    F.struct(F.col("_pos"), F.col("_line")),
+                                )
+                            )
+                        ),
+                        lambda s: s["_line"],
+                    ),
+                    "\n",
+                ),
+                256,
+            ).alias("cleaned_hash"),
+        )
+        .withColumnRenamed("_id", id_col)
+        .withColumnRenamed("_host", host_col)
+    )
