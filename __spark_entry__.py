@@ -2136,6 +2136,79 @@ from lab l join sizes s using (cluster)
 """
 
 
+_CANON_EXTRA = " appended recovery of the truncated mirror content"
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster
+    (dedup.select_canonical): clusters from MinHash-LSH + connected
+    components, then keep = argmax(score) with min-id tie-break instead of
+    blind min-id. Planted: every 20th doc twice, the +2M copy LONGER (extra
+    tail), score = char length — so wherever the long copy clusters, the
+    canonical flips away from the min id and the argmax path is exercised;
+    identical-length copies fall back to the tie-break."""
+    from webcrawler_spark.pipeline.dedup import dedup_clusters, select_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    clones = d.filter(F.col("doc_id") % 20 == 0)
+    planted = d.unionByName(
+        clones.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).unionByName(
+        clones.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(_CANON_EXTRA)))
+    )
+    members = dedup_clusters(planted, n_hashes=4, bands=2).select(
+        "doc_id", "cluster"
+    )
+    scores = planted.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    return select_canonical(members, scores)
+
+
+_DEDUP_CANONICAL_SQL = f"""
+with recursive docs as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000 as doc_id, text from documents where doc_id % 20 = 0
+  union all
+  select doc_id + 2000000 as doc_id, text || '{_CANON_EXTRA}' as text
+  from documents where doc_id % 20 = 0),
+toks as (select doc_id, {_TOKS_SQL} as tk from docs),
+sh as (select doc_id, {_SHINGLES_SQL.format(tk='tk')} as s from toks),
+sig as (select doc_id,
+       list_aggregate(list_transform(s, x -> sha256('0:' || x)), 'min') as mh_0,
+       list_aggregate(list_transform(s, x -> sha256('1:' || x)), 'min') as mh_1,
+       list_aggregate(list_transform(s, x -> sha256('2:' || x)), 'min') as mh_2,
+       list_aggregate(list_transform(s, x -> sha256('3:' || x)), 'min') as mh_3
+  from sh),
+bandrows as (
+  select 0 as band, mh_0 || '|' || mh_1 as band_key, doc_id as id from sig
+  union all
+  select 1 as band, mh_2 || '|' || mh_3 as band_key, doc_id as id from sig),
+pairs as (
+  select l.id as a, r.id as b
+  from bandrows l join bandrows r
+    on l.band = r.band and l.band_key = r.band_key and l.id < r.id
+  group by 1, 2),
+nbr as (select a as u, b as v from pairs union select b, a from pairs),
+nodes as (select distinct u as id from nbr),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select n.v, reach.r from reach join nbr n on n.u = reach.id),
+lab as (select id, min(r) as cluster from reach group by id),
+sizes as (select cluster, count(*) as cluster_size from lab group by cluster),
+scored as (
+  select l.id, l.cluster, s.cluster_size, length(d.text)::bigint as score
+  from lab l join sizes s using (cluster) join docs d on d.doc_id = l.id)
+select id as doc_id, cluster, cluster_size, score,
+       (row_number() over (partition by cluster order by score desc, id) = 1)
+         as keep
+from scored
+"""
+
+
 def q_dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.dedup import simhash_signatures
 
@@ -3728,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "dedup_simhash_sig": q_dedup_simhash_sig,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3835,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": _MINHASH_SIG_SQL,
         "dedup_lsh_pairs": _LSH_PAIRS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_canonical": _DEDUP_CANONICAL_SQL,
         "dedup_simhash_sig": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -1137,3 +1137,24 @@ def test_chunk_docs_rejects_bad_params(spark):
         chunk_docs(df, chunk_tokens=4, stride=5)
     with pytest.raises(ValueError):
         chunk_docs(df, chunk_tokens=0, stride=1)
+
+
+def test_select_canonical_argmax_and_tiebreak(spark):
+    from webcrawler_spark.pipeline.dedup import select_canonical
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+        "doc_id long, score long",
+    )
+    out = {r["doc_id"]: r for r in select_canonical(members, scores).collect()}
+    # cluster 1: max score 9 shared by 2 and 3 -> min-id tie-break keeps 2
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert out[2]["cluster_size"] == 3
+    # cluster 10: equal scores -> min id wins
+    assert out[10]["keep"] and not out[11]["keep"]
+    # exactly one keeper per cluster
+    assert sum(1 for r in out.values() if r["keep"]) == 2

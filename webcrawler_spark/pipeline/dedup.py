@@ -659,3 +659,55 @@ def embedding_dup_clusters(
             (F.col("id") == F.col("cluster")).alias("keep"),
         )
     )
+
+
+def select_canonical(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: given duplicate-cluster membership
+    (``members``: one row per doc with its cluster label, e.g. from
+    ``dedup_clusters``/``embedding_dup_clusters``) and a per-doc quality
+    score (``scores``), keep the HIGHEST-scoring member of every cluster
+    (tie-break: min doc id). ``dedup_clusters``' built-in keep = min-id is
+    the right default when members are byte-identical; when they differ
+    (truncated mirrors, boilerplate-wrapped syndications, re-crawls), a
+    training pipeline wants the best COPY, not the first id — keep the one
+    with the highest quality/completeness score and delete the rest.
+
+    Returns (id, cluster, cluster_size, score, keep).
+
+    Plan shape at 100 TB: one id-keyed join (scores is usually a projection
+    of the doc table — AQE picks broadcast when the clustered slice is
+    small), one cluster-keyed aggregate producing a winners relation of
+    |clusters| rows, and a cluster-keyed join back. The winners join is NOT
+    force-broadcast: |clusters| can be corpus-scale when dup rate is high,
+    so the strategy is left to AQE's size estimate (same byte-gating policy
+    as the crawl path's broadcasts).
+    """
+    j = members.select(F.col(id_col), F.col(cluster_col)).join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    # min(struct(-score, id)) = argmax score with min-id tie-break, as one
+    # combiner-friendly aggregate (no per-cluster window).
+    best = j.groupBy(cluster_col).agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("_ns"), F.col(id_col).alias("_id")
+            )
+        ).alias("_b"),
+    )
+    return (
+        j.join(best, cluster_col)
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col("cluster_size"),
+            F.col(score_col),
+            (F.col(id_col) == F.col("_b._id")).alias("keep"),
+        )
+    )
