@@ -717,6 +717,65 @@ from events group by 1
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): every non-error event paired
+    with the user's latest PRECEDING error event — the slowly-changing-
+    dimension lookup (fetch vs newest robots/config snapshot) Spark has no
+    built-in for (SPARK-22947). One key shuffle + one window; the DuckDB
+    oracle uses its native ASOF LEFT JOIN, so the semantics are pinned
+    against an independent implementation."""
+    from webcrawler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, on=["user_id"], right_cols=["value"])
+
+
+_EVENTS_ASOF_SQL = """
+select e.event_id, e.user_id, e.ts, s.ts as ts_asof, s.value
+from (select event_id, user_id, ts from events where event_type != 'error') e
+asof left join
+     (select user_id, ts, value from events where event_type = 'error') s
+  on e.user_id = s.user_id and e.ts >= s.ts
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/asof.py): events matched to the
+    45-minute windows opened by each error event of the same user. Intervals
+    explode into hour buckets and equi-join on (user, bucket) BEFORE the
+    exact BETWEEN filter — no BroadcastNestedLoopJoin/cartesian, fan-out
+    bounded by interval/bucket ratio; each true match shares exactly one
+    bucket so no dedup pass."""
+    from webcrawler_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end_ts"),
+    )
+    return range_join(left, iv, on=["user_id"])
+
+
+_EVENTS_RANGE_JOIN_SQL = """
+with ev as (select event_id, user_id, ts from events where event_type != 'error'),
+iv as (select user_id, ts as start_ts, ts + interval 45 minute as end_ts
+       from events where event_type = 'error')
+select e.event_id, e.user_id, e.ts, i.start_ts, i.end_ts
+from ev e join iv i
+  on e.user_id = i.user_id and e.ts between i.start_ts and i.end_ts
+"""
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
@@ -3779,6 +3838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_first_seen": q_stream_first_seen,
         "events_percentiles": q_events_percentiles,
         "events_json_props": q_events_json_props,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "doc_chunks": q_doc_chunks,
@@ -3889,6 +3950,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_first_seen": _STREAM_FIRST_SEEN_SQL,
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
+        "events_asof": _EVENTS_ASOF_SQL,
+        "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "corpus_split": _CORPUS_SPLIT_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
