@@ -370,32 +370,41 @@ def ngram_jaccard_pairs(
 # Embedding cosine near-dup (LSH-bucketed)
 # ---------------------------------------------------------------------------
 
+def _plane_coef(p: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient:
+    (hash64('p:i') % 2001 − 1000)/1000 with hash64 = int64 of the first 15
+    hex chars of sha256 — the exact Python twin of textprep.hash64, kept in
+    lockstep with the DuckDB oracle's SQL formula."""
+    import hashlib
+
+    h = int(hashlib.sha256(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
 def _embedding_sketches(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int, dim: int
 ) -> DataFrame:
     """(id, v, sk): sign-bit hyperplane sketch per vector. Hyperplanes are
     deterministic pseudo-random: coef(p, i) = (hash64('p:i') % 2001 − 1000)/1000
-    — reproducible bit-for-bit in the DuckDB oracle."""
+    — reproducible bit-for-bit in the DuckDB oracle.
+
+    The coefficients are row-independent constants, so they are computed
+    ONCE on the driver (`_plane_coef`) and embedded as literal arrays — the
+    original in-plan formulation re-evaluated n_planes × dim sha256 calls
+    per ROW (1024/row at 16 planes × 64 dims), pure waste at corpus scale.
+    Bit p is branch-free: (dot > 0) casts to {0,1}."""
 
     def plane_dot(vec: Column, p: int) -> Column:
         vd = F.transform(vec, lambda x: x.cast("double"))
-        coef = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                (hash64(F.concat(F.lit(f"{p}:"), i.cast("string"))) % 2001 - 1000).cast(
-                    "double"
-                )
-                / 1000.0
-            ),
-        )
+        coef = F.array(*[F.lit(_plane_coef(p, i)) for i in range(dim)])
         return F.aggregate(
             F.zip_with(vd, coef, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
         )
 
     sketch: Column = F.lit(0)
     for p in range(n_planes):
-        sketch = sketch + F.when(plane_dot(F.col(vec_col), p) > 0, F.lit(1 << p)).otherwise(
-            F.lit(0)
+        sketch = sketch + (plane_dot(F.col(vec_col), p) > 0).cast("int") * F.lit(
+            1 << p
         )
     return df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk")
