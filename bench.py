@@ -68,8 +68,14 @@ HEADLINE = [
     "refresh_schedule",
     "quality_deciles",
     "search_phrase",
+    "search_boolean",
     "host_pagerank",
     "frontier_pr_admission",
+    "doc_chunks",
+    "text_boilerplate",
+    "dedup_canonical",
+    "events_asof",
+    "events_range_join",
 ]
 
 

@@ -4,7 +4,7 @@
         --docs /path/documents.parquet --out /tmp/curated \
         [--eval /path/eval.parquet] [--weights '{"src0": 600, "src1": 400}'] \
         [--budget-chars 30000] [--min-words 50] [--shard-chars 1000000] \
-        [--no-near-dedup]
+        [--no-near-dedup] [--canonical min-id|longest]
 
 Stage order (each one a pipeline op with its own oracle-checked query in
 `__spark_entry__.py` — this job is their composition):
@@ -54,6 +54,7 @@ def run(
     shard_chars: int = 1_000_000,
     near_dedup: bool = True,
     quality: str = "gopher",
+    canonical: str = "min-id",
 ) -> dict:
     """Run the curation chain; returns the per-stage summary dict.
 
@@ -89,9 +90,21 @@ def run(
         .drop("_rn"),
     )
 
-    # 2. near-dup dedup: drop every non-canonical cluster member
+    # 2. near-dup dedup: drop every non-canonical cluster member.
+    # --canonical longest keeps the most complete COPY per cluster (char
+    # length as the completeness proxy — truncated mirrors lose) instead of
+    # the smallest id; dedup.select_canonical does the cluster-keyed argmax.
     if near_dedup:
-        losers = dedup_clusters(d).filter(~F.col("keep")).select("doc_id")
+        clusters = dedup_clusters(d)
+        if canonical == "longest":
+            from webcrawler_spark.pipeline.dedup import select_canonical
+
+            losers = select_canonical(
+                clusters.select("doc_id", "cluster"),
+                d.select("doc_id", F.length("text").cast("long").alias("score")),
+            ).filter(~F.col("keep")).select("doc_id")
+        else:
+            losers = clusters.filter(~F.col("keep")).select("doc_id")
         d = step("near_deduped", d.join(losers, "doc_id", "left_anti"))
 
     # 3. Gopher quality filter (`--quality off` for corpora whose vocabulary
@@ -152,6 +165,7 @@ def main() -> int:
     ap.add_argument("--shard-chars", type=int, default=1_000_000)
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--quality", choices=("gopher", "off"), default="gopher")
+    ap.add_argument("--canonical", choices=("min-id", "longest"), default="min-id")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -169,6 +183,7 @@ def main() -> int:
         shard_chars=args.shard_chars,
         near_dedup=not args.no_near_dedup,
         quality=args.quality,
+        canonical=args.canonical,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -84,3 +84,28 @@ def test_curate_quality_off_and_defaults(spark, curate_input, tmp_path):
     assert "quality_kept" not in s and "near_deduped" not in s
     assert s["output"] == s["exact_deduped"] == s["input"] - 1
     assert s["n_shards"] == 1   # everything fits one shard at 100k chars
+
+
+def test_curate_canonical_longest_flips_keeper(spark, tmp_path):
+    from jobs.curate import run
+
+    # isolated near-dup pairs (no cross-pair shingle overlap): in each pair
+    # the HIGHER id is the longer copy, so --canonical longest keeps it while
+    # the min-id default keeps the lower id
+    docs = []
+    for g in range(3):
+        base = " ".join(f"g{g}tok{j}" for j in range(80))
+        docs.append((10 * g + 1, base, "src0"))
+        docs.append((10 * g + 2, base + " longer tail appended here", "src0"))
+    spark.createDataFrame(docs, "doc_id long, text string, source string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "docs"))
+
+    out_a = str(tmp_path / "longest")
+    run(spark, str(tmp_path / "docs"), out_a, quality="off", canonical="longest")
+    kept_a = {r["doc_id"] for r in spark.read.parquet(out_a).select("doc_id").collect()}
+    assert kept_a == {2, 12, 22}
+
+    out_b = str(tmp_path / "minid")
+    run(spark, str(tmp_path / "docs"), out_b, quality="off")
+    kept_b = {r["doc_id"] for r in spark.read.parquet(out_b).select("doc_id").collect()}
+    assert kept_b == {1, 11, 21}
