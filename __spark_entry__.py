@@ -1642,6 +1642,88 @@ from expl
 """
 
 
+_CMS_KEYS = ["join", "merge", "nosuchtoken", "spark", "vector"]
+_CMS_D, _CMS_W = 4, 1024
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (pipeline/sketches.py): token
+    counts folded into a fixed d x w counter table (bounded, mergeable
+    state — the sketch answer to 'which tokens dominate' that a streaming
+    monitor can afford), then point estimates for a fixed key set. Integer-
+    exact end-to-end, so the overestimates are bit-identical in DuckDB."""
+    from webcrawler_spark.pipeline.sketches import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sk = cms_build(toks, F.col("tok"), d=_CMS_D, w=_CMS_W)
+    return cms_estimate(sk, _CMS_KEYS, d=_CMS_D, w=_CMS_W)
+
+
+def _cms_lanes_sql(src_col: str, src_rel: str) -> str:
+    """UNION ALL of the d per-lane (lane, bucket) projections of a column."""
+    parts = []
+    for i in range(_CMS_D):
+        salted = _HASH64_SQL.format(x="'cms" + str(i) + ":' || " + src_col)
+        parts.append(
+            f"select {src_col if src_rel == 'keys' else ''}"
+            f"{', ' if src_rel == 'keys' else ''}{i} as lane, "
+            f"{salted} % {_CMS_W} as bucket from {src_rel}"
+        )
+    return " union all ".join(parts)
+
+
+_SKETCH_CMS_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+t as (select u.t as tok from toks, unnest(tk) as u(t)),
+lanes as ({_cms_lanes_sql("tok", "t")}),
+sk as (select lane, bucket, count(*)::bigint as cnt from lanes group by 1, 2),
+keys(key) as (values {", ".join("('" + k + "')" for k in _CMS_KEYS)}),
+coords as ({_cms_lanes_sql("key", "keys")})
+select key, min(coalesce(cnt, 0))::bigint as est
+from coords left join sk using (lane, bucket) group by key
+"""
+
+
+_KMV_K = 64
+
+
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch per source: k smallest
+    hash64(token) values stand in for the full distinct set; estimate
+    (k-1)*H div h_k with integer division so both engines agree exactly.
+    Groups under k distinct tokens are exact by construction."""
+    from webcrawler_spark.pipeline.sketches import kmv_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return kmv_distinct(toks, "source", F.col("tok"), k=_KMV_K)
+
+
+_SKETCH_KMV_SQL = f"""
+with toks as (select source, u.t as key from
+              (select source, {_TOKS_SQL} as tk from documents), unnest(tk) as u(t)),
+uniq as (select distinct source, key from toks),
+h as (select source, key, {_HASH64_SQL.format(x="key")} as kmv_hash from uniq),
+r as (select source, kmv_hash,
+             row_number() over (partition by source order by kmv_hash, key) as rk
+      from h),
+bk as (select * from r where rk <= {_KMV_K})
+select source, count(*)::bigint as n_seen,
+       (case when max(case when rk = {_KMV_K} then kmv_hash end) is null
+             then count(*)
+             else ({_KMV_K - 1} * (1::hugeint << 60))
+                  // max(case when rk = {_KMV_K} then kmv_hash end)
+        end)::bigint as est_distinct
+from bk group by source
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-50 token vocabulary (wordcount shape): explode + map-side
     partial count + one tok shuffle + TakeOrderedAndProject. Deterministic
@@ -3843,6 +3925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "doc_chunks": q_doc_chunks,
+        "sketch_cms": q_sketch_cms,
+        "sketch_kmv": q_sketch_kmv,
         "vocab_topk": q_vocab_topk,
         "shard_pack": q_shard_pack,
         "domain_mixture": q_domain_mixture,
@@ -3955,6 +4039,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _CORPUS_SPLIT_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
+        "sketch_cms": _SKETCH_CMS_SQL,
+        "sketch_kmv": _SKETCH_KMV_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "shard_pack": _SHARD_PACK_SQL,
         "domain_mixture": _mixture_sql(),

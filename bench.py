@@ -72,6 +72,8 @@ HEADLINE = [
     "host_pagerank",
     "frontier_pr_admission",
     "doc_chunks",
+    "sketch_cms",
+    "sketch_kmv",
     "text_boilerplate",
     "dedup_canonical",
     "events_asof",

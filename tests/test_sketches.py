@@ -1,0 +1,72 @@
+"""Sketch operators (pipeline/sketches.py): count-min and KMV/bottom-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    rows = [(i % 4, f"u{i}") for i in range(400)] + [(0, "hot")] * 250
+    return spark.createDataFrame(rows, "grp int, tok string")
+
+
+def test_cms_never_underestimates_and_merges(spark, tokens):
+    from webcrawler_spark.pipeline.sketches import cms_build, cms_estimate
+
+    exact = {
+        r["tok"]: r["n"]
+        for r in tokens.groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    keys = ["hot", "u1", "u399", "absent"]
+    sk = cms_build(tokens, F.col("tok"), d=4, w=512)
+    est = {r["key"]: r["est"] for r in cms_estimate(sk, keys, d=4, w=512).collect()}
+    for k in keys:
+        assert est[k] >= exact.get(k, 0)          # one-sided error, always
+    assert est["hot"] <= exact["hot"] + 10        # w >> n: near-exact
+    # mergeability: sketch(a) + sketch(b) == sketch(a+b), counter by counter
+    a = tokens.filter(F.col("grp") < 2)
+    b = tokens.filter(F.col("grp") >= 2)
+    merged = (
+        cms_build(a, F.col("tok"), d=4, w=512)
+        .unionByName(cms_build(b, F.col("tok"), d=4, w=512))
+        .groupBy("lane", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(tokens, F.col("tok"), d=4, w=512)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_weighted_counts(spark):
+    from webcrawler_spark.pipeline.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [("x", 5), ("x", 7), ("y", 1)], "tok string, w long"
+    )
+    sk = cms_build(df, F.col("tok"), d=4, w=512, weight=F.col("w"))
+    est = {r["key"]: r["est"] for r in cms_estimate(sk, ["x", "y"], d=4, w=512).collect()}
+    assert est["x"] >= 12 and est["y"] >= 1
+
+
+def test_bottomk_deterministic_and_exact_under_k(spark, tokens):
+    from webcrawler_spark.pipeline.sketches import bottomk, kmv_distinct
+
+    # repeated runs and re-partitioned input give the identical sample
+    s1 = set(map(tuple, bottomk(tokens, "grp", F.col("tok"), k=16).collect()))
+    s2 = set(
+        map(tuple, bottomk(tokens.repartition(7), "grp", F.col("tok"), k=16).collect())
+    )
+    assert s1 == s2 and len(s1) == 4 * 16
+    # duplicates collapse: the 250 'hot' copies occupy one sample slot
+    kd = {r["grp"]: r for r in kmv_distinct(tokens, "grp", F.col("tok"), k=16).collect()}
+    # under k distinct -> exact; here each grp has 100 or 101 distinct > 16,
+    # so estimates kick in: sanity band only (k=16 -> ~25% rel error)
+    for g, r in kd.items():
+        true = 101 if g == 0 else 100
+        assert r["n_seen"] == 16
+        assert 0.4 * true <= r["est_distinct"] <= 2.5 * true
+    small = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "a")], "grp int, tok string"
+    )
+    ex = kmv_distinct(small, "grp", F.col("tok"), k=16).collect()[0]
+    assert ex["n_seen"] == 2 and ex["est_distinct"] == 2   # exact under k

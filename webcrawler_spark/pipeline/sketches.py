@@ -1,0 +1,168 @@
+"""Mergeable sketch operators: count-min frequency estimation and KMV
+(k-minimum-values / bottom-k) distinct counting + uniform sampling.
+
+At 100 TB, exact per-key state is often the wrong trade: a frontier monitor
+asking "which hosts dominate the queue" or "how many distinct URLs per host"
+does not need an exact groupBy over 10^10 rows held forever — it needs a
+BOUNDED, MERGEABLE summary that a streaming job can fold across batches and
+a batch job can union across shards. These are the two classic answers
+(Cormode & Muthukrishnan 2005 count-min; Bar-Yossef et al. 2002 KMV), built
+entirely from DataFrame primitives so Catalyst plans them like any
+aggregation — and, deliberately, with INTEGER-ONLY arithmetic end-to-end, so
+every output is bit-reproducible and oracle-checkable against DuckDB.
+
+Scale shapes:
+- ``cms_build``: one groupBy over (lane, bucket) — the sketch is d × w
+  counters REGARDLESS of input size; map-side combine collapses each
+  partition to ≤ d·w rows before the (tiny) shuffle. Merging two sketches is
+  a union + sum on the same key — associative, streaming-friendly.
+- ``cms_estimate``: join the query keys' (lane, bucket) coordinates against
+  the sketch — |keys|·d lookup rows, min over lanes; never touches the
+  corpus again.
+- ``bottomk``: per-group k smallest hash64(key) values — a uniform sample
+  WITHOUT randomness (membership is a pure function of the data, stable
+  across retries/partitionings, exactly like sampling.py's hash splits).
+  One window over (group) ordered by the hash; the same k rows double as a
+  KMV distinct-count estimator: D ≈ (k-1) · H / h_k for hash range H.
+
+The reference has no sketch surface (its seen-set is an exact in-memory Set,
+`InMemoryLinkQueue.java:34`); these extend the engine the same way the Bloom
+sidecar does for membership (operators/dedup.py) — bounded state standing in
+for unbounded exactness, with the error knob explicit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textprep import hash64
+
+# hash64 yields 60-bit non-negative values: range [0, 2^60)
+HASH_RANGE = 1 << 60
+
+
+def _lane_bucket(key: Column, lane: int, width: int) -> Column:
+    """Bucket of ``key`` in lane ``lane``: independent per-lane hash via a
+    lane-salted hash64, folded to [0, width)."""
+    return hash64(F.concat(F.lit(f"cms{lane}:"), key)) % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame,
+    key: Column,
+    d: int = 4,
+    w: int = 1024,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-min sketch of ``key`` (optionally ``weight``-weighted): returns
+    the d × w counter table (lane, bucket, cnt); absent counters are zero.
+    Point estimate for any key = min over lanes of its bucket's counter —
+    always an OVERestimate; error ≤ N·e/w with prob 1−(1/2)^d.
+
+    Two sketches built with the same (d, w) merge by
+    ``union → groupBy(lane, bucket) → sum(cnt)``.
+    """
+    wcol = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    lanes = F.array(
+        *[
+            F.struct(F.lit(i).alias("lane"), _lane_bucket(key, i, w).alias("bucket"))
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(lanes).alias("lb"), wcol.alias("_w"))
+        .groupBy(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: Sequence[str], d: int = 4, w: int = 1024
+) -> DataFrame:
+    """(key, est): count-min point estimates for literal ``keys`` from a
+    ``cms_build(d, w)`` sketch. Builds the |keys|·d coordinate relation
+    driver-side (keys are a query, not data), left-joins the sketch (missing
+    counter = 0), takes min over lanes."""
+    spark = sketch.sparkSession
+    coords = spark.createDataFrame(
+        [(k,) for k in sorted(set(keys))], schema="key string"
+    ).select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("lane"),
+                        _lane_bucket(F.col("key"), i, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("lb"),
+    ).select("key", F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+    return (
+        coords.join(sketch, ["lane", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def bottomk(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sample: the k rows whose ``hash64(key)`` is
+    smallest within each group — a deterministic uniform-without-replacement
+    sample (hash order is independent of the data's own order) that is also
+    the KMV sketch of the group. Returns (group, key, kmv_rank, kmv_hash),
+    kmv_rank 1-based by hash. Duplicate keys collapse first (DISTINCT
+    semantics — KMV estimates DISTINCT counts).
+
+    One distinct aggregate + one window partitioned BY GROUP (never a global
+    sort); merge two samples of the same group by union → re-rank → limit k.
+    """
+    uniq = df.select(
+        F.col(group_col).alias("grp"), key.alias("key")
+    ).distinct().withColumn("kmv_hash", hash64(F.col("key")))
+    win = Window.partitionBy("grp").orderBy("kmv_hash", "key")
+    return (
+        uniq.withColumn("kmv_rank", F.row_number().over(win))
+        .filter(F.col("kmv_rank") <= k)
+        .select(
+            F.col("grp").alias(group_col), "key", "kmv_rank", "kmv_hash"
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    k: int = 64,
+) -> DataFrame:
+    """(group, n_seen, est_distinct): KMV distinct-count estimate per group.
+    With fewer than k distinct keys the count is exact (= n_seen); otherwise
+    D ≈ (k−1) · HASH_RANGE / h_k where h_k is the k-th smallest hash
+    (Bar-Yossef et al. 2002), computed with integer division so both engines
+    produce the identical estimate. Relative error ~ 1/sqrt(k)."""
+    bk = bottomk(df, group_col, key, k)
+    agg = bk.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.max(F.when(F.col("kmv_rank") == k, F.col("kmv_hash"))).alias("_hk"),
+    )
+    return agg.select(
+        group_col,
+        "n_seen",
+        F.when(F.col("_hk").isNull(), F.col("n_seen"))
+        .otherwise(
+            F.expr(f"({k} - 1) * cast({HASH_RANGE} as decimal(38, 0)) div _hk").cast(
+                "long"
+            )
+        )
+        .alias("est_distinct"),
+    )
