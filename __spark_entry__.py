@@ -76,6 +76,12 @@ _HASH64_HI_SQL = "(('0x' || substr(sha256({x}), 16, 15))::bigint)"
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
+# count-min / KMV sketch parameters shared by the Spark queries and their
+# DuckDB twins (sketch_cms, sketch_kmv, stream_cms)
+_CMS_KEYS = ["join", "merge", "nosuchtoken", "spark", "vector"]
+_CMS_D, _CMS_W = 4, 1024
+_KMV_K = 64
+
 _SHINGLES_SQL = (
     "list_distinct(case when len({tk}) >= 3 then "
     "list_transform(range(1, len({tk}) - 1), i -> {tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2]) "
@@ -534,6 +540,49 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_FIRST_SEEN_SQL = "select distinct user_id, event_type from events"
+
+
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing count-min monitor (streaming.cms_monitor): the events stream
+    drained with AvailableNow, each micro-batch's sketch folded into a
+    persistent d x w counter table with batch-id idempotence. Counter
+    addition is associative, so the streamed fold equals the one-pass batch
+    sketch the oracle computes — bit for bit."""
+    import tempfile
+
+    from webcrawler_spark.streaming import cms_monitor
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).select(F.col("user_id").cast("string").alias("ukey"))
+    out = cms_monitor(
+        ev,
+        "ukey",
+        sketch_dir=tempfile.mkdtemp(prefix="cms-sketch-"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="cms-ckpt-"),
+        d=_CMS_D,
+        w=_CMS_W,
+    )
+    return out
+
+
+def _cms_user_lanes_sql() -> str:
+    parts = []
+    for i in range(_CMS_D):
+        salted = _HASH64_SQL.format(x="'cms" + str(i) + ":' || user_id::varchar")
+        parts.append(
+            f"select {i} as lane, {salted} % {_CMS_W} as bucket from events"
+        )
+    return " union all ".join(parts)
+
+
+_STREAM_CMS_SQL = f"""
+select lane, bucket, count(*)::bigint as cnt
+from ({_cms_user_lanes_sql()}) group by 1, 2
+"""
 
 
 def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1642,10 +1691,6 @@ from expl
 """
 
 
-_CMS_KEYS = ["join", "merge", "nosuchtoken", "spark", "vector"]
-_CMS_D, _CMS_W = 4, 1024
-
-
 def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates (pipeline/sketches.py): token
     counts folded into a fixed d x w counter table (bounded, mergeable
@@ -1685,9 +1730,6 @@ coords as ({_cms_lanes_sql("key", "keys")})
 select key, min(coalesce(cnt, 0))::bigint as est
 from coords left join sk using (lane, bucket) group by key
 """
-
-
-_KMV_K = 64
 
 
 def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3927,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "sketch_cms": q_sketch_cms,
         "sketch_kmv": q_sketch_kmv,
+        "stream_cms": q_stream_cms,
         "vocab_topk": q_vocab_topk,
         "shard_pack": q_shard_pack,
         "domain_mixture": q_domain_mixture,
@@ -4041,6 +4084,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _DOC_CHUNKS_SQL,
         "sketch_cms": _SKETCH_CMS_SQL,
         "sketch_kmv": _SKETCH_KMV_SQL,
+        "stream_cms": _STREAM_CMS_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "shard_pack": _SHARD_PACK_SQL,
         "domain_mixture": _mixture_sql(),

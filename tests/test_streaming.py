@@ -250,3 +250,34 @@ def test_first_seen_watermarked_variant_runs(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted(r["k"] for r in spark.table("fs_wm_test").collect())
     assert rows == [1, 2]
+
+
+def test_cms_monitor_multibatch_fold_and_idempotence(spark, tmp_path):
+    import json
+
+    from webcrawler_spark.pipeline.sketches import cms_build
+    from webcrawler_spark.streaming import cms_monitor
+
+    rows = [(f"k{i % 50}",) for i in range(600)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "ukey string").repartition(3).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("ukey string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    sk_dir, ck = str(tmp_path / "sk"), str(tmp_path / "ck")
+    out = cms_monitor(stream(), "ukey", sk_dir, ck, d=4, w=128)
+    # the multi-batch fold equals the one-pass batch sketch, counter for counter
+    batch = cms_build(spark.read.parquet(src), F.col("ukey"), d=4, w=128)
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+    state = json.load(open(f"{sk_dir}/MANIFEST.json"))
+    assert state["version"] >= 3  # one fold per file -> genuinely incremental
+    # drained checkpoint: re-running folds nothing and changes nothing
+    out2 = cms_monitor(stream(), "ukey", sk_dir, ck, d=4, w=128)
+    assert json.load(open(f"{sk_dir}/MANIFEST.json"))["version"] == state["version"]
+    assert out2.exceptAll(batch).count() == 0

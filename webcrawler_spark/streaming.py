@@ -315,3 +315,92 @@ def first_seen(
         ws = stream.withWatermark(watermark_col, watermark)
         return ws.dropDuplicatesWithinWatermark(list(keys)).select(*keys)
     return stream.dropDuplicates(list(keys)).select(*keys)
+
+
+def read_sketch(spark: SparkSession, sketch_dir: str) -> Optional[DataFrame]:
+    """Latest committed sketch version under ``sketch_dir`` (see
+    ``cms_monitor``), or None before the first commit."""
+    import json
+    import os
+
+    manifest = os.path.join(sketch_dir, "MANIFEST.json")
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as fh:
+        state = json.load(fh)
+    if state.get("version", 0) < 1:
+        return None
+    return spark.read.parquet(os.path.join(sketch_dir, f"v={state['version']}"))
+
+
+def cms_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    d: int = 4,
+    w: int = 1024,
+    timeout_sec: int = 600,
+) -> Optional[DataFrame]:
+    """Standing count-min frequency monitor over a stream: each micro-batch's
+    sketch (pipeline/sketches.cms_build) is folded into a persistent sketch
+    table — the streaming answer to "which hosts/tokens dominate the feed"
+    with state bounded at d × w counters FOREVER, no matter how much data
+    flows through. Drains with Trigger.AvailableNow and returns the final
+    sketch (None if the stream delivered nothing).
+
+    Exactly-once despite foreachBatch's at-least-once contract: the sketch
+    manifest records the last folded batch id; a replayed batch (crash
+    between sink write and checkpoint commit) is skipped, and versions are
+    written to fresh ``v=N`` dirs before the manifest pointer moves — the
+    same write-then-commit discipline as SnapshotStore (storage.py).
+
+    Per-batch cost: O(|batch| + d·w) — the standing sketch it merges into is
+    d·w rows, so the fold never rescans history. The identical sketch built
+    in one batch pass equals the streamed fold bit-for-bit (counter addition
+    is associative); the pytest pins that equality across multi-file
+    micro-batches.
+    """
+    import json
+    import os
+
+    from .pipeline.sketches import cms_build
+
+    os.makedirs(sketch_dir, exist_ok=True)
+    manifest = os.path.join(sketch_dir, "MANIFEST.json")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        state = {"version": 0, "last_batch": -1}
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                state = json.load(fh)
+        if batch_id <= state["last_batch"]:
+            return  # replayed micro-batch: already folded
+        delta = cms_build(batch_df, F.col(key_col), d=d, w=w)
+        if state["version"] >= 1:
+            cur = sp.read.parquet(
+                os.path.join(sketch_dir, f"v={state['version']}")
+            )
+            delta = (
+                cur.unionByName(delta)
+                .groupBy("lane", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        nv = state["version"] + 1
+        delta.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"v={nv}")
+        )
+        with open(manifest, "w") as fh:
+            json.dump({"version": nv, "last_batch": batch_id}, fh)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    return read_sketch(stream_df.sparkSession, sketch_dir)
