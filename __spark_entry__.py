@@ -2774,6 +2774,66 @@ where rn = 1
 """
 
 
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means TRAINING (similarity.kmeans_fit):
+    bottom-k-by-hash init, two Lloyd rounds (broadcast assign + per-cluster
+    positional means rounded to 6 decimals), final assignment. The DuckDB
+    oracle unrolls the identical two iterations, pinning the whole training
+    trajectory — init, both codebooks, final assignment — not just one
+    step."""
+    from webcrawler_spark.pipeline.similarity import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(e, k=8, iters=2)
+    return assigned.select(
+        "vec_id", "centroid_id", _e(F.col("cos"), 4).alias("cos_e4")
+    )
+
+
+def _km_assign_sql(c_cte: str) -> str:
+    """Nearest-centroid assignment against centroid CTE ``c_cte`` — cosine
+    rounded to 4 decimals BEFORE the argmax (assign_centroids does the same
+    via cosine_sim's default rounding), ties to the smaller cid."""
+    return (
+        "select vec_id, cid, cos from (select v.vec_id, c.cid, "
+        "round(list_dot_product(v.e, c.ce) / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(c.ce, c.ce))), 4) as cos, "
+        "row_number() over (partition by v.vec_id order by "
+        "round(list_dot_product(v.e, c.ce) / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(c.ce, c.ce))), 4) desc, c.cid) as rn "
+        f"from v cross join {c_cte} c) where rn = 1"
+    )
+
+
+def _km_mean_sql(a_cte: str, c_prev: str) -> str:
+    """Positional means of ``a_cte``'s clusters, 6-decimal rounded; empty
+    clusters inherit ``c_prev``'s centroid."""
+    return (
+        f"select p.cid, coalesce(nv.ce, p.ce) as ce from {c_prev} p left join ("
+        "select cid, list(m order by pos) as ce from ("
+        f"select a.cid, u.s.i as pos, round(avg(u.s.x), 6) as m "
+        f"from {a_cte} a join v using (vec_id), "
+        "unnest(list_transform(v.e, (x, i) -> {'x': x, 'i': i})) as u(s) "
+        "group by a.cid, u.s.i)"
+        " group by cid) nv using (cid)"
+    )
+
+
+_EMBED_KMEANS_SQL = f"""
+with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+hh as (select vec_id, e, {_HASH64_SQL.format(x="vec_id::varchar")} as h from v),
+c0 as (select row_number() over (order by h, vec_id)::int as cid, e as ce
+       from hh qualify row_number() over (order by h, vec_id) <= 8),
+a1 as ({_km_assign_sql("c0")}),
+c1 as ({_km_mean_sql("a1", "c0")}),
+a2 as ({_km_assign_sql("c1")}),
+c2 as ({_km_mean_sql("a2", "c1")}),
+fin as ({_km_assign_sql("c2")})
+select vec_id, cid as centroid_id, cast(round(cos * 10000) as bigint) as cos_e4
+from fin
+"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_token_stats
 
@@ -4001,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dup_clusters": q_embed_dup_clusters,
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_centroid_assign": q_embed_centroid_assign,
+        "embed_kmeans": q_embed_kmeans,
         "text_token_stats": q_text_token_stats,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_gopher_rules": q_text_gopher,
@@ -4114,6 +4175,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_clusters": _EMBED_CLUSTERS_SQL,
         "embed_ivf_topk": _IVF_TOPK_SQL,
         "embed_centroid_assign": _CENTROID_SQL,
+        "embed_kmeans": _EMBED_KMEANS_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_bpe_tokens": _BPE_TOKENS_SQL,
         "text_gopher_rules": _GOPHER_SQL,

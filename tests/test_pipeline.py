@@ -1158,3 +1158,34 @@ def test_select_canonical_argmax_and_tiebreak(spark):
     assert out[10]["keep"] and not out[11]["keep"]
     # exactly one keeper per cluster
     assert sum(1 for r in out.values() if r["keep"]) == 2
+
+
+def test_kmeans_fit_separates_planted_clusters(spark):
+    from webcrawler_spark.pipeline.similarity import kmeans_fit
+
+    # three well-separated directions in R^8, 20 noisy members each
+    rows = []
+    for c in range(3):
+        for i in range(20):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[(c + 3) % 8] = 0.01 * ((i * 7) % 5)  # deterministic jitter
+            rows.append((20 * c + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = kmeans_fit(df, k=3, iters=2)
+    got = assigned.collect()
+    assert len(got) == 60 and centroids.count() == 3
+    # each planted cluster lands wholly in one centroid bucket
+    by_plant = {}
+    for r in got:
+        by_plant.setdefault(r["vec_id"] // 20, set()).add(r["centroid_id"])
+    assert all(len(s) == 1 for s in by_plant.values())
+    assert len(set.union(*by_plant.values())) == 3
+    # more Lloyd rounds never hurt mean assignment quality
+    a1, _ = kmeans_fit(df, k=3, iters=1)
+    m1 = a1.agg(F.avg("cos")).collect()[0][0]
+    m2 = assigned.agg(F.avg("cos")).collect()[0][0]
+    assert m2 >= m1 - 1e-9
+    # rerun on a repartitioned input: identical assignment (no RNG anywhere)
+    a3, _ = kmeans_fit(df.repartition(7), k=3, iters=2)
+    assert assigned.exceptAll(a3).count() == 0

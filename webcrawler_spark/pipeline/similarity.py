@@ -132,3 +132,90 @@ def assign_probes(
         .filter(F.col("_r") <= n_probe)
         .select("q_id", "q_vec", F.col("cid").alias("centroid_id"))
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+):
+    """Deterministic spherical k-means (Lloyd) — TRAINING for the IVF coarse
+    quantizer that ``assign_centroids``/``ivf_topk`` serve. Returns
+    (assignments, centroids): assignments = (id, centroid_id, cos) for the
+    final iteration; centroids = the trained (centroid_id, c_vec) DataFrame.
+
+    Determinism, the property a 100 TB training job actually needs (same
+    codebook on every rerun/retry, no RNG):
+    - init: the k corpus vectors with the smallest ``hash64(id)`` — a
+      bottom-k sketch (pipeline/sketches.py), stable under any partitioning,
+      unlike Spark ML's seeded-but-partition-sensitive kmeans||;
+    - assignment by cosine (scale-invariant, so plain per-cluster MEANS act
+      as spherical centroids without renormalizing);
+    - new centroid coordinates rounded to ``decimals`` each iteration —
+      absorbs float summation-order drift so independent engines (the DuckDB
+      oracle unrolls the same iterations) converge to identical codebooks.
+
+    Scale shape per iteration: one broadcast-assign over the corpus (narrow
+    map + per-id window over k rows), one posexplode + groupBy(cid, pos)
+    mean — shuffle volume k × dim cells after map-side combine — and a
+    k × dim collect (driver-scale by construction). Empty clusters keep
+    their previous centroid. Iteration count is a fixed budget: each round
+    is one pass, the standard big-data k-means trade (kmeans|| init + few
+    Lloyd rounds) rather than convergence-looping over 10^10 rows.
+    """
+    from .textprep import hash64
+
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    # bottom-k by id hash compiles to TakeOrderedAndProject (per-partition
+    # heaps), never a global sort; k rows collect driver-side by design
+    seed_rows = (
+        vecs.withColumn("_h", hash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [
+        {"centroid_id": i + 1, "c_vec": r["_v"]} for i, r in enumerate(seed_rows)
+    ]
+
+    def _cdf(rows):
+        return spark.createDataFrame(
+            sorted((r["centroid_id"], r["c_vec"]) for r in rows),
+            schema="centroid_id int, c_vec array<double>",
+        )
+
+    assigned = None
+    for _ in range(iters):
+        cdf = _cdf(centroids)
+        assigned = assign_centroids(
+            vecs, cdf, id_col=id_col, vec_col="_v"
+        )
+        means = (
+            assigned.select(F.col(id_col), "centroid_id")
+            .join(vecs, id_col)
+            .select("centroid_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("x"), decimals).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("c_vec"),
+            )
+        )
+        got = {r["centroid_id"]: r["c_vec"] for r in means.collect()}
+        centroids = [
+            {"centroid_id": r["centroid_id"],
+             "c_vec": got.get(r["centroid_id"], r["c_vec"])}
+            for r in centroids
+        ]
+    final = _cdf(centroids)
+    out = assign_centroids(vecs, final, id_col=id_col, vec_col="_v")
+    return out, final
