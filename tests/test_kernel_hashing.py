@@ -120,3 +120,18 @@ class TestRemoveHtmlTags:
             remove_html_tags("Text with <b>unclosed tags or <i>incorrect nesting</b>")
             == "Text with unclosed tags or incorrect nesting"
         )
+
+
+def test_unpaired_surrogates_hash_like_java_getbytes():
+    """Java String.getBytes(UTF_8) replaces an unpaired surrogate with '?'
+    (verified on Java 17: "x\\ud800y" -> bytes 120 63 121); the kernel must
+    hash the same bytes instead of raising (hypothesis-found)."""
+    import hashlib
+
+    from webcrawler_spark.kernel.hashing import compute_hash
+
+    assert (
+        compute_hash(None, "x\ud800y")
+        == hashlib.sha256(b"\x00x?y").hexdigest()
+    )
+    assert compute_hash("\ud800", "") == hashlib.sha256(b"?\x00").hexdigest()

@@ -26,7 +26,12 @@ URL_SEPARATOR = "\x00"
 
 
 def sha256_hex(s: str) -> str:
-    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+    # errors="replace" (-> '?') matches the reference's encode step exactly:
+    # Java String.getBytes(UTF_8) "always replaces malformed-input ...
+    # sequences with this charset's default replacement byte array" ({'?'}),
+    # so an unpaired surrogate hashes as 0x3F there — raising here instead
+    # was a fidelity gap (found by hypothesis fuzzing, test_properties.py).
+    return hashlib.sha256(s.encode("utf-8", errors="replace")).hexdigest()
 
 
 def compute_hash(url: Optional[str], content: Optional[str]) -> str:
