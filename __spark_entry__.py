@@ -2834,6 +2834,96 @@ from fin
 """
 
 
+_PQ_M, _PQ_SUB = 4, 16
+
+
+def q_embed_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance top-k (similarity.pq_encode
+    / pq_adc_topk): corpus vectors compress to 4 sub-block codes (the FAISS
+    IVF-PQ memory story — 10^10 x dim-64 float32 = 2.5 TB becomes 40 GB of
+    codes); queries score against a broadcast partial-dot LUT, never decoding
+    the corpus. Codewords here are a deterministic corpus subsample (every
+    61st vector); kmeans_fit trains real codebooks in the pytest."""
+    from webcrawler_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        subvectors,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cw = (
+        ev.filter(F.col("vec_id") % 61 == 0)
+        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")))
+    )
+    codebooks = subvectors(cw, _PQ_M, _PQ_SUB, "cid", "v").select(
+        "subspace", "cid", F.col("sv").alias("c_vec")
+    )
+    codes = pq_encode(e, codebooks, m=_PQ_M, dim=64)
+    queries = ev.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    out = pq_adc_topk(codes, codebooks, queries, m=_PQ_M, dim=64, k=5)
+    return out.select(
+        "q_id", "neighbor_id", _e(F.col("score"), 4).alias("score_e4"), "rnk"
+    )
+
+
+def _pq_slices_sql(rel: str, idc: str, vec: str, out: str) -> str:
+    parts = []
+    for j in range(_PQ_M):
+        lo = j * _PQ_SUB + 1
+        hi = (j + 1) * _PQ_SUB
+        parts.append(
+            f"select {idc}, {j} as subspace, list_slice({vec}, {lo}, {hi}) as {out}"
+            f" from {rel}"
+        )
+    return " union all ".join(parts)
+
+
+_PQ_L2_SQL = (
+    "round(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)"
+    " + list_dot_product(c.cv, c.cv), 4)"
+)
+
+_EMBED_PQ_SQL = f"""
+with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+cw as (select row_number() over (order by vec_id) as cid, e from v where vec_id % 61 = 0),
+cb as ({_pq_slices_sql("cw", "cid", "e", "cv")}),
+sv as ({_pq_slices_sql("v", "vec_id", "e", "sv")}),
+enc as (
+  select vec_id, subspace, cid as code from (
+    select s.vec_id, s.subspace, c.cid,
+           row_number() over (partition by s.vec_id, s.subspace
+                              order by {_PQ_L2_SQL}, c.cid) as rn
+    from sv s join cb c using (subspace)) where rn = 1),
+q as (select vec_id as q_id, e from v where vec_id % 97 = 0),
+qs as ({_pq_slices_sql("q", "q_id", "e", "qsv")}),
+lut as (select q_id, subspace, cid as code,
+               round(list_dot_product(qsv, cv), 6) as part
+        from qs join cb using (subspace)),
+par as (
+  select l.q_id, e.vec_id as neighbor_id,
+         {", ".join(
+             "sum(case when subspace = " + str(j) + " then part end) as p" + str(j)
+             for j in range(_PQ_M)
+         )}
+  from enc e join lut l using (subspace, code)
+  where e.vec_id != l.q_id
+  group by 1, 2),
+sc as (select q_id, neighbor_id,
+              {" + ".join("p" + str(j) for j in range(_PQ_M))} as score
+       from par)
+select q_id, neighbor_id, cast(round(score * 10000) as bigint) as score_e4, rnk
+from (select *, row_number() over (partition by q_id
+                                   order by score desc, neighbor_id) as rnk
+      from sc)
+where rnk <= 5
+"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_token_stats
 
@@ -4062,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_centroid_assign": q_embed_centroid_assign,
         "embed_kmeans": q_embed_kmeans,
+        "embed_pq_adc": q_embed_pq_adc,
         "text_token_stats": q_text_token_stats,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_gopher_rules": q_text_gopher,
@@ -4176,6 +4267,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _IVF_TOPK_SQL,
         "embed_centroid_assign": _CENTROID_SQL,
         "embed_kmeans": _EMBED_KMEANS_SQL,
+        "embed_pq_adc": _EMBED_PQ_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,
         "text_bpe_tokens": _BPE_TOKENS_SQL,
         "text_gopher_rules": _GOPHER_SQL,

@@ -219,3 +219,140 @@ def kmeans_fit(
     final = _cdf(centroids)
     out = assign_centroids(vecs, final, id_col=id_col, vec_col="_v")
     return out, final
+
+
+def subvectors(
+    df: DataFrame, m: int, sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, subspace, sv): the vector split into m contiguous sub-blocks of
+    ``sub`` dims each — narrow m-way explode, no shuffle."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.transform(
+                    F.slice(F.col(vec_col), j * sub + 1, sub),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(parts).alias("p")).select(
+        F.col(id_col), F.col("p.subspace").alias("subspace"), F.col("p.sv").alias("sv")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Product-quantization encoding: each vector becomes m small codes —
+    per sub-block, the id of the nearest codeword by L2 (Jégou et al. 2011).
+    ``codebooks`` is (subspace, cid, c_vec); train it with ``kmeans_fit`` per
+    sub-block or subsample codewords from the corpus. Returns
+    (id, subspace, code) rows.
+
+    This is the compression layer of IVF-PQ: at 10^10 vectors, float32
+    embeddings at dim 64 are 2.5 TB; m=4 one-byte codes are 40 GB — the
+    difference between an index that fits executor memory and one that
+    doesn't.
+
+    Determinism: L2 uses the expansion |x|² − 2·x·c + |c|² with index-order
+    dots (textprep.dot_double) and is rounded to ``decimals`` before the
+    argmin (ties → smaller cid) — the DuckDB twin computes the identical
+    value. Plan: m-way explode (narrow) ⋈ broadcast codebooks, one window
+    per (id, subspace) over |codebook| rows.
+    """
+    from .textprep import dot_double
+
+    sub = dim // m
+    sv = subvectors(spread(corpus), m, sub, id_col, vec_col)
+    cb = F.broadcast(codebooks.select("subspace", "cid", "c_vec"))
+    l2 = F.round(
+        dot_double(F.col("sv"), F.col("sv"))
+        - 2 * dot_double(F.col("sv"), F.col("c_vec"))
+        + dot_double(F.col("c_vec"), F.col("c_vec")),
+        decimals,
+    )
+    scored = sv.join(cb, "subspace").select(
+        F.col(id_col), "subspace", F.col("cid"), l2.alias("_l2")
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy("_l2", "cid")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col), "subspace", F.col("cid").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: dot(q, x) is
+    approximated by Σ_j dot(q_j, codeword(code_j)) — the query side stays
+    full-precision, the corpus side is never decoded. Returns
+    (q_id, neighbor_id, score, rnk), score = the ADC dot estimate, ties by
+    neighbor_id.
+
+    Plan: the per-(query, subspace, codeword) partial-dot LUT is
+    |q| × m × |codebook| rows — broadcast; codes join the LUT on
+    (subspace, code) and the m partials fold per (q_id, id). The fold PIVOTS
+    the m subspaces into columns and adds them in fixed order rather than
+    groupBy-summing doubles across rows, so the result is bit-stable under
+    any partitioning (and equals the DuckDB twin exactly). Per-partial
+    rounding to ``decimals`` makes the pivoted addends engine-identical
+    first.
+    """
+    from .textprep import dot_double
+
+    sub = dim // m
+    qv = subvectors(queries, m, sub, q_id_col, q_vec_col).withColumnRenamed(
+        "sv", "qsv"
+    )
+    lut = F.broadcast(
+        qv.join(codebooks.select("subspace", "cid", "c_vec"), "subspace").select(
+            F.col(q_id_col),
+            "subspace",
+            F.col("cid").alias("code"),
+            F.round(dot_double(F.col("qsv"), F.col("c_vec")), decimals).alias(
+                "_part"
+            ),
+        )
+    )
+    joined = codes.join(lut, ["subspace", "code"]).filter(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    pivots = [
+        F.sum(F.when(F.col("subspace") == j, F.col("_part"))).alias(f"_p{j}")
+        for j in range(m)
+    ]
+    folded = joined.groupBy(q_id_col, id_col).agg(*pivots)
+    score: Column = F.col("_p0")
+    for j in range(1, m):
+        score = score + F.col(f"_p{j}")
+    scored = folded.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(id_col).alias("neighbor_id"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "score", "rnk")
+    )
