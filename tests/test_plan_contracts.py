@@ -74,3 +74,60 @@ def test_admission_window_partitions_by_host(spark):
     # the window's partition spec must reference the host column
     win_lines = [l for l in p.splitlines() if "Arguments" in l and "row_number" in l]
     assert win_lines and any("host" in l for l in win_lines)
+
+
+def test_doc_chunks_plan_has_no_exchange(spark):
+    """Chunking is a narrow map + explode: ANY exchange in this plan means a
+    regression introduced a shuffle into a zero-shuffle operator (the spread()
+    round-robin on a single-file local read is the one allowed exchange)."""
+    p = _plan(spark, "doc_chunks")
+    # allow only the spread() REPARTITION_BY_NUM exchange, nothing hash/range
+    bad = [
+        l for l in p.splitlines()
+        if "Arguments: hashpartitioning" in l or "rangepartitioning" in l
+    ]
+    assert not bad, bad
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The as-of join must stay ONE key-partitioned window: exactly one hash
+    exchange on the join key, no nested-loop join, no range exchange (a
+    global sort would mean the window lost its partition spec)."""
+    p = _plan(spark, "events_asof")
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    hashex = [
+        l for l in p.splitlines()
+        if "Arguments: hashpartitioning" in l
+    ]
+    assert len(hashex) == 1 and "user_id" in hashex[0], hashex
+    assert "rangepartitioning" not in p
+
+
+def test_range_join_is_equi_join_plus_filter(spark):
+    """The bucketized range join must plan as an equi-join (hash or
+    sort-merge) — never BroadcastNestedLoopJoin/cartesian, which is what a
+    raw interval theta join degenerates to."""
+    p = _plan(spark, "events_range_join")
+    assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_pq_adc_lut_broadcasts(spark):
+    """The ADC partial-dot LUT is |q| x m x |codebook| rows and must
+    broadcast; falling back to a shuffle join would reshuffle the code
+    table (corpus-sized at 10^10 vectors)."""
+    p = _plan(spark, "embed_pq_adc")
+    assert "BroadcastHashJoin" in p
+
+
+def test_sketch_cms_single_aggregation_shape(spark):
+    """The CMS build must be explode -> partial agg -> ONE exchange on
+    (lane, bucket): the whole point is that only d x w counters shuffle."""
+    p = _plan(spark, "sketch_cms")
+    hashex = [
+        l for l in p.splitlines()
+        if "Arguments: hashpartitioning" in l
+    ]
+    # exactly two shuffles: the (lane, bucket) sketch build (keys show as
+    # _groupingexpression aliases) and the per-key estimate groupBy
+    assert len(hashex) == 2, hashex
+    assert sum("_groupingexpression" in l for l in hashex) == 1, hashex
