@@ -281,3 +281,29 @@ def test_cms_monitor_multibatch_fold_and_idempotence(spark, tmp_path):
     out2 = cms_monitor(stream(), "ukey", sk_dir, ck, d=4, w=128)
     assert json.load(open(f"{sk_dir}/MANIFEST.json"))["version"] == state["version"]
     assert out2.exceptAll(batch).count() == 0
+
+
+def test_monitor_job_incremental_drains(spark, tmp_path):
+    from jobs.monitor import run as monitor_run
+    from webcrawler_spark.corpus import generate_corpus, write_parquet
+
+    c = generate_corpus(seed=11, n_hosts=4, n_pages=40)
+    base = str(tmp_path / "corpus")
+    write_parquet(c, base)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    import shutil
+
+    shutil.copy(f"{base}/pages.parquet", drop / "p0.parquet")
+    state = str(tmp_path / "state")
+    s1 = monitor_run(spark, str(drop), state, d=4, w=1024, topk=10)
+    assert s1["first_seen_urls"] == 40
+    est1 = {t["host"]: t["est"] for t in s1["top_hosts"]}
+    assert sum(est1.values()) >= 40        # CMS never underestimates
+
+    # drop the SAME pages again: no new first-seen URLs, counts fold double
+    shutil.copy(f"{base}/pages.parquet", drop / "p1.parquet")
+    s2 = monitor_run(spark, str(drop), state, d=4, w=1024, topk=10)
+    assert s2["first_seen_urls"] == 40
+    est2 = {t["host"]: t["est"] for t in s2["top_hosts"]}
+    assert all(est2[h] == 2 * est1[h] for h in est1)
