@@ -1,6 +1,6 @@
 """as-of join and bucketized range join (operators/asof.py)."""
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 from pyspark.sql import functions as F
@@ -113,3 +113,48 @@ def test_range_join_plan_has_no_nested_loop(spark):
     )
     plan = range_join(ev, iv, on=["host"])._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_matches_sequential_oracle_on_random_data(spark):
+    """500 seeded-random left rows x 200 right rows over 20 keys, checked
+    against an independent pure-Python as-of implementation — the pattern
+    the engine uses everywhere: distributed op vs sequential oracle."""
+    import random
+
+    from webcrawler_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    left_rows = [
+        (i, f"h{rng.randrange(20)}", datetime(2024, 1, 1) + timedelta(seconds=rng.randrange(0, 43200)))
+        for i in range(500)
+    ]
+    right_rows = [
+        (f"h{rng.randrange(20)}", datetime(2024, 1, 1) + timedelta(seconds=rng.randrange(0, 43200)), float(j))
+        for j in range(200)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, host string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "host string, ts timestamp, value double")
+
+    got = {
+        r["event_id"]: (r["ts_asof"], r["value"])
+        for r in asof_join(left, right, on=["host"]).collect()
+    }
+    # sequential oracle: latest right row with rts <= ts per key; ties on
+    # identical rts broken by the larger payload struct (matching the
+    # window's (_ats, _side, _rp) order)
+    by_host = {}
+    for h, rts, v in right_rows:
+        by_host.setdefault(h, []).append((rts, v))
+    for h in by_host:
+        by_host[h].sort()
+    import bisect
+
+    assert len(got) == 500
+    for i, h, ts in left_rows:
+        cands = by_host.get(h, [])
+        pos = bisect.bisect_right(cands, (ts, float("inf")))
+        want = cands[pos - 1] if pos else None
+        if want is None:
+            assert got[i] == (None, None)
+        else:
+            assert got[i] == want, (i, h, ts, got[i], want)
