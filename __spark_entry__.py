@@ -1766,6 +1766,53 @@ from bk group by source
 """
 
 
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source (sketches.hll_distinct,
+    p=8: 256 registers per group, forever, ~6.5% error): registers are pure
+    integer arithmetic (rho from the binary-string length, no float log) and
+    the harmonic denominator is an exact scaled-integer sum, so the estimate
+    is the same double division in both engines — bit-reproducible."""
+    from webcrawler_spark.pipeline.sketches import hll_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return hll_distinct(toks, "source", F.col("tok"), p=8)
+
+
+def _hll_sql() -> str:
+    p, m = 8, 256
+    w_bits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _HASH64_SQL.format(x="key")
+    return f"""
+with toks as (select source, u.t as key from
+              (select source, {_TOKS_SQL} as tk from documents), unnest(tk) as u(t)),
+hh as (select source, {h} as h from toks),
+rr as (select source, h >> {w_bits} as reg,
+              case when (h & ((1::bigint << {w_bits}) - 1)) = 0 then {w_bits + 1}
+                   else {w_bits} + 1 - length(bin(h & ((1::bigint << {w_bits}) - 1)))
+              end as rho
+       from hh),
+regs as (select source, reg, max(rho) as rho from rr group by 1, 2),
+agg as (select source, count(*)::bigint as nz,
+               sum((1::bigint << {w_bits + 1}) // (1::bigint << rho))::bigint as s_hit
+        from regs group by source),
+fin as (select source, nz,
+               (s_hit + ({m} - nz) * (1::bigint << {w_bits + 1}))::bigint as s
+        from agg)
+select source,
+       round(case when ({m} - nz) > 0
+                   and ({alpha!r}::double * {m * m} * {float(1 << (w_bits + 1))!r} / s) <= {2.5 * m}
+                  then {float(m)!r} * ln({float(m)!r} / ({m} - nz))
+                  else {alpha!r}::double * {m * m} * {float(1 << (w_bits + 1))!r} / s
+             end)::bigint as est_distinct
+from fin
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-50 token vocabulary (wordcount shape): explode + map-side
     partial count + one tok shuffle + TakeOrderedAndProject. Deterministic
@@ -4120,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "sketch_kmv": q_sketch_kmv,
         "stream_cms": q_stream_cms,
+        "sketch_hll": q_sketch_hll,
         "vocab_topk": q_vocab_topk,
         "shard_pack": q_shard_pack,
         "domain_mixture": q_domain_mixture,
@@ -4237,6 +4285,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cms": _SKETCH_CMS_SQL,
         "sketch_kmv": _SKETCH_KMV_SQL,
         "stream_cms": _STREAM_CMS_SQL,
+        "sketch_hll": _hll_sql(),
         "vocab_topk": _VOCAB_TOPK_SQL,
         "shard_pack": _SHARD_PACK_SQL,
         "domain_mixture": _mixture_sql(),

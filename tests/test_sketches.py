@@ -70,3 +70,28 @@ def test_bottomk_deterministic_and_exact_under_k(spark, tokens):
     )
     ex = kmv_distinct(small, "grp", F.col("tok"), k=16).collect()[0]
     assert ex["n_seen"] == 2 and ex["est_distinct"] == 2   # exact under k
+
+
+def test_hll_accuracy_and_merge(spark):
+    from pyspark.sql import functions as SF
+    from webcrawler_spark.pipeline.sketches import hll_distinct, hll_registers
+
+    rows = (
+        [(0, f"a{i}") for i in range(3000)]
+        + [(1, f"b{i}") for i in range(100)]
+        + [(2, "const")] * 500
+    )
+    df = spark.createDataFrame(rows, "grp int, k string")
+    est = {r["grp"]: r["est_distinct"] for r in hll_distinct(df, "grp", F.col("k"), p=8).collect()}
+    assert abs(est[0] - 3000) / 3000 < 0.10      # ~6.5% expected at p=8
+    assert est[1] == 100                          # linear-counting regime: exact-ish
+    assert est[2] == 1                            # duplicates collapse
+    # merge = per-register MAX: halves merged equal the whole
+    a = hll_registers(df.filter("grp = 0 and k < 'a5'"), "grp", F.col("k"))
+    b = hll_registers(df.filter("grp = 0 and k >= 'a5'"), "grp", F.col("k"))
+    merged = (
+        a.unionByName(b).groupBy("grp", "reg").agg(SF.max("rho").alias("rho"))
+    )
+    whole = hll_registers(df.filter("grp = 0"), "grp", F.col("k"))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0

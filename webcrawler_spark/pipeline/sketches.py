@@ -166,3 +166,79 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+# HLL geometry: hash64 supplies 60 bits; p index bits + the rest for rho
+HLL_HASH_BITS = 60
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog registers per group: (group, reg, rho) with
+    reg = top-p index bits of hash64(key), rho = max over the group's keys
+    of 1 + leading-zero-count of the remaining (60-p) bits (Flajolet et al.
+    2007). Absent registers mean rho 0.
+
+    Fully integer arithmetic (rho via the length of the value's binary
+    string — no float log), so registers are bit-identical in any engine.
+    One groupBy(group, reg) MAX — map-side combine collapses each partition
+    to ≤ 2^p rows per group; two register tables merge by GREATEST. This is
+    the bounded-state distinct counter for per-host URL cardinality at
+    10^10 scale: 2^p small ints per host, forever.
+    """
+    w_bits = HLL_HASH_BITS - p
+    h = hash64(key)
+    reg = F.shiftright(h, w_bits)
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    # rho = w_bits - bit_length(w) + 1; bin(w) has no leading zeros, and
+    # bin(0) = "0" (handled: w = 0 -> rho = w_bits + 1, the all-zeros case)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) + 1 - F.length(F.bin(w))
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").cast("int").alias("rho"))
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    p: int = 8,
+) -> DataFrame:
+    """(group, est_distinct): HyperLogLog estimate per group, ~1.04/sqrt(2^p)
+    relative error at 2^p registers.
+
+    Cross-engine determinism: the harmonic denominator Σ 2^(-rho_j) is
+    computed as the INTEGER Σ 2^(w_bits+1-rho_j) (fits int64: ≤ 2^p · 2^53),
+    so both engines divide the same two exact numbers; the final alpha·m²/S
+    and the small-range linear-counting correction are single double ops on
+    identical operands. Estimate is rounded to a long."""
+    m = 1 << p
+    w_bits = HLL_HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, group_col, key, p)
+    agg = regs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("_nz"),  # registers with rho >= 1
+        F.sum(F.expr(f"cast(pow(2, {w_bits + 1}) as long) div "
+                     f"cast(pow(2, rho) as long)")).alias("_s_hit"),
+    )
+    # absent registers have rho 0: each contributes 2^0 = 1 to the harmonic
+    # sum, i.e. the full 2^(w_bits+1) at this scaling
+    s = F.col("_s_hit") + (F.lit(m) - F.col("_nz")) * F.lit(1 << (w_bits + 1))
+    raw = F.lit(alpha * m * m * float(2 ** (w_bits + 1))) / s.cast("double")
+    zeros = F.lit(m) - F.col("_nz")
+    # small-range correction: linear counting when any register is empty
+    # and the raw estimate is below the 2.5m threshold
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((zeros > 0) & (raw <= 2.5 * m), lin).otherwise(raw)
+    return agg.select(
+        group_col, F.round(est).cast("long").alias("est_distinct")
+    )
