@@ -1766,6 +1766,55 @@ from bk group by source
 """
 
 
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (sketches.kmv_set_ops): union size,
+    intersection size and Jaccard of src0's vs src1's token sets, from two
+    bottom-64 samples instead of a full token join — the theta-sketch answer
+    to 'how much do two crawls overlap'. Integer arithmetic end-to-end."""
+    from webcrawler_spark.pipeline.sketches import kmv_set_ops
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return kmv_set_ops(toks, "source", F.col("tok"), "src0", "src1", k=64)
+
+
+_SKETCH_OVERLAP_SQL = f"""
+with toks as (select source, u.t as key from
+              (select source, {_TOKS_SQL} as tk from documents
+               where source in ('src0', 'src1')), unnest(tk) as u(t)
+              where u.t != ''),
+uniq as (select distinct source, key from toks),
+h as (select source, key, {_HASH64_SQL.format(x="key")} as kh from uniq),
+r as (select source, key, kh,
+             row_number() over (partition by source order by kh, key) as rk
+      from h),
+sa as (select key, kh, 1 as in_a from r where source = 'src0' and rk <= 64),
+sb as (select key, kh, 1 as in_b from r where source = 'src1' and rk <= 64),
+u as (select coalesce(sa.key, sb.key) as key,
+             coalesce(sa.kh, sb.kh) as kh,
+             coalesce(in_a, 0) as in_a, coalesce(in_b, 0) as in_b
+      from sa full outer join sb on sa.key = sb.key),
+su as (select * from (select *, row_number() over (order by kh, key) as r from u)
+       where r <= 64),
+agg as (select count(*)::bigint as n_union_sample,
+               sum(in_a * in_b)::bigint as n_common,
+               (case when count(*) < 64 then count(*)
+                     else (63 * (1::hugeint << 60)) // max(kh) end)::bigint
+                 as est_union
+        from su)
+select n_union_sample, n_common, est_union,
+       ((n_common::hugeint * est_union) // n_union_sample)::bigint
+         as est_intersection,
+       (1000 * n_common // n_union_sample)::bigint as jaccard_pm
+from agg
+"""
+
+
 def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate per source (sketches.hll_distinct,
     p=8: 256 registers per group, forever, ~6.5% error): registers are pure
@@ -4168,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv": q_sketch_kmv,
         "stream_cms": q_stream_cms,
         "sketch_hll": q_sketch_hll,
+        "sketch_overlap": q_sketch_overlap,
         "vocab_topk": q_vocab_topk,
         "shard_pack": q_shard_pack,
         "domain_mixture": q_domain_mixture,
@@ -4286,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv": _SKETCH_KMV_SQL,
         "stream_cms": _STREAM_CMS_SQL,
         "sketch_hll": _hll_sql(),
+        "sketch_overlap": _SKETCH_OVERLAP_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "shard_pack": _SHARD_PACK_SQL,
         "domain_mixture": _mixture_sql(),

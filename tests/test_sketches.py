@@ -95,3 +95,27 @@ def test_hll_accuracy_and_merge(spark):
     whole = hll_registers(df.filter("grp = 0"), "grp", F.col("k"))
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_kmv_set_ops_overlap_estimates(spark):
+    from webcrawler_spark.pipeline.sketches import kmv_set_ops
+
+    # A = 0..599, B = 300..899: |A|=|B|=600, intersection 300, union 900
+    rows = [("a", f"u{i}") for i in range(600)] + [
+        ("b", f"u{i}") for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k string")
+    r = kmv_set_ops(df, "grp", F.col("k"), "a", "b", k=64).collect()[0]
+    assert r["n_union_sample"] == 64
+    # true jaccard = 300/900 = 333 pm; k=64 -> ~12% rel error band
+    assert 180 <= r["jaccard_pm"] <= 500, r
+    assert 550 <= r["est_union"] <= 1350, r
+    assert 140 <= r["est_intersection"] <= 520, r
+    # disjoint sets: zero common, exact-union when samples cover everything
+    small = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(20)] + [("b", f"y{i}") for i in range(20)],
+        "grp string, k string",
+    )
+    r2 = kmv_set_ops(small, "grp", F.col("k"), "a", "b", k=64).collect()[0]
+    assert r2["n_common"] == 0 and r2["est_union"] == 40
+    assert r2["jaccard_pm"] == 0 and r2["est_intersection"] == 0

@@ -242,3 +242,71 @@ def hll_distinct(
     return agg.select(
         group_col, F.round(est).cast("long").alias("est_distinct")
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    group_a,
+    group_b,
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation estimates between two key sets from their bottom-k
+    samples (Beyer et al. 2007, the theta-sketch idea): ONE row
+    (n_union_sample, n_common, est_union, est_intersection, jaccard_pm).
+
+    How: merge the two groups' bottom-k samples, re-rank, keep the union's
+    bottom-k; its k-th smallest hash L calibrates est_union = (k-1)·H div L
+    (exact count when the union sample is under k); n_common = union-sample
+    keys present in BOTH sides estimates the Jaccard fraction directly
+    (jaccard_pm = 1000·n_common div sample size), and
+    est_intersection = n_common·est_union div sample size.
+
+    The 100 TB use: "how many URLs do this month's and last month's crawls
+    share?" costs two bottom-k samples (each a groupBy + one windowed
+    top-k) instead of a full-corpus join — and the samples are reusable,
+    mergeable artifacts. Integer arithmetic end-to-end.
+    """
+    bk = bottomk(df, group_col, key, k)
+    a = bk.filter(F.col(group_col) == group_a).select(
+        "key", "kmv_hash", F.lit(1).alias("_in_a")
+    )
+    b = bk.filter(F.col(group_col) == group_b).select(
+        "key", "kmv_hash", F.lit(1).alias("_in_b")
+    )
+    u = (
+        a.join(b.select("key", "_in_b"), "key", "full")
+        .select(
+            "key",
+            F.coalesce(F.col("kmv_hash"), hash64(F.col("key"))).alias("kmv_hash"),
+            F.coalesce("_in_a", F.lit(0)).alias("_in_a"),
+            F.coalesce("_in_b", F.lit(0)).alias("_in_b"),
+        )
+    )
+    w = Window.orderBy("kmv_hash", "key")  # union sample is <= 2k rows
+    su = u.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    return su.agg(
+        F.count("*").cast("long").alias("n_union_sample"),
+        F.sum((F.col("_in_a") * F.col("_in_b")).cast("long")).alias("n_common"),
+        F.when(
+            F.count("*") < k,
+            F.count("*"),
+        )
+        .otherwise(
+            F.expr(
+                f"({k} - 1) * cast({HASH_RANGE} as decimal(38, 0)) div max(kmv_hash)"
+            )
+        )
+        .cast("long")
+        .alias("est_union"),
+    ).select(
+        "n_union_sample",
+        "n_common",
+        "est_union",
+        # decimal intermediate: n_common * est_union can pass 2^63 at web scale
+        F.expr(
+            "cast(n_common as decimal(38, 0)) * est_union div n_union_sample"
+        ).cast("long").alias("est_intersection"),
+        F.expr("1000 * n_common div n_union_sample").alias("jaccard_pm"),
+    )
