@@ -766,6 +766,67 @@ from events group by 1
 """
 
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def q_crawl_trap_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (functions.trap_signal): hosts whose distinct
+    URLs vastly outnumber their distinct URL TEMPLATES (digit/hex runs
+    collapsed) are minting generated links — calendars, session ids,
+    faceted search. Even-indexed hosts here serve one template for ~375
+    URLs (trap); odd hosts spread over 26 letter-distinct sections (not).
+    One host-keyed aggregate, no window, no join."""
+    from webcrawler_spark.functions import trap_signal
+
+    u = _urls(spark, sf_dir)
+    letter = F.substring(
+        F.lit(_ALPHA), (F.col("o_orderkey") % 26 + 1).cast("int"), 1
+    )
+    url2 = F.concat(
+        F.lit("https://"),
+        F.col("host"),
+        F.when((F.col("o_orderkey") % 2) == 1, F.concat(F.lit("/"), letter))
+        .otherwise(F.lit("")),
+        F.lit("/order/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    # odd ORDERKEYS add a letter section; a host is a trap iff nearly all
+    # of its urls share one template — even-key urls do, odd-key ones don't,
+    # so every host has 27 templates and ~equal urls: instead gate traps by
+    # host parity so both branches appear
+    host_idx = F.regexp_extract(F.col("host"), r"host(\d+)", 1).cast("int")
+    url3 = F.when((host_idx % 2) == 1, url2).otherwise(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/order/"),
+                 F.col("o_orderkey").cast("string"))
+    )
+    return trap_signal(u.select(url3.alias("url")))
+
+
+_CRAWL_TRAP_SQL = f"""
+with u as ({_URLS_SQL}),
+u2 as (
+  select case when (cast(regexp_extract(host, 'host(\\d+)', 1) as int) % 2) = 1
+              then 'https://' || host ||
+                   (case when o_orderkey % 2 = 1
+                         then '/' || substr('{_ALPHA}', (o_orderkey % 26 + 1)::int, 1)
+                         else '' end) || '/order/' || o_orderkey
+              else 'https://' || host || '/order/' || o_orderkey end as url
+  from u),
+t as (select url,
+             regexp_replace(regexp_replace(url, '[0-9a-fA-F]{{16,}}', 'H', 'g'),
+                            '[0-9]+', 'N', 'g') as tpl,
+             regexp_extract(url, 'https?://([^/]+)', 1) as host
+      from u2),
+agg as (select host, count(distinct url)::bigint as n_urls,
+               count(distinct tpl)::bigint as n_templates
+        from t where host is not null and host != '' group by host)
+select host, n_urls, n_templates,
+       (1000 * n_urls // n_templates)::bigint as amplification_pm,
+       (n_urls >= 100 and (1000 * n_urls // n_templates) >= 50000) as trap
+from agg
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): every non-error event paired
     with the user's latest PRECEDING error event — the slowly-changing-
@@ -4208,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_first_seen": q_stream_first_seen,
         "events_percentiles": q_events_percentiles,
         "events_json_props": q_events_json_props,
+        "crawl_trap_signal": q_crawl_trap_signal,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "corpus_split": q_corpus_split,
@@ -4327,6 +4389,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_first_seen": _STREAM_FIRST_SEEN_SQL,
         "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
+        "crawl_trap_signal": _CRAWL_TRAP_SQL,
         "events_asof": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "corpus_split": _CORPUS_SPLIT_SQL,

@@ -1255,3 +1255,28 @@ def test_pq_encode_and_adc_recall(spark):
     # deterministic under repartitioning
     adc2 = pq_adc_topk(codes.repartition(5), codebooks, queries, m=m, dim=dim, k=10)
     assert adc.exceptAll(adc2).count() == 0
+
+
+def test_trap_signal_flags_generated_urls(spark):
+    from webcrawler_spark.functions import trap_signal, url_template
+
+    rows = (
+        # trap.com: one template, 150 distinct generated urls
+        [(f"https://trap.com/cal?day={i}",) for i in range(150)]
+        # ok.com: 150 urls across 30 letter-distinct sections
+        + [(f"https://ok.com/s{chr(97 + i % 26)}x/p/{i}",) for i in range(150)]
+        # small.com: one template but under min_urls -> not flagged
+        + [(f"https://small.com/id/{i}",) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["host"]: r for r in trap_signal(df).collect()}
+    assert out["trap.com"]["trap"] and out["trap.com"]["n_templates"] == 1
+    assert not out["ok.com"]["trap"] and out["ok.com"]["n_templates"] == 26
+    assert not out["small.com"]["trap"]        # min_urls gate
+    # template collapses digit AND long-hex runs
+    t = (
+        spark.range(1)
+        .select(url_template(F.lit("https://h/x/deadbeefdeadbeef01/p/42")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert t == "https://h/x/H/p/N"

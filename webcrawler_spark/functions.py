@@ -18,7 +18,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Optional, Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 NUL = "\x00"
@@ -164,3 +164,54 @@ def registrable_domain(host: Column) -> Column:
     for suf in MULTIPART_SUFFIXES:
         is_multi = is_multi | last2.endswith(F.lit(suf))
     return F.when((n >= 3) & is_multi, last3).otherwise(last2)
+
+
+def url_template(url: Column) -> Column:
+    """The URL's structural template: digit runs in the path/query collapse
+    to 'N', long hex runs (session ids, content hashes) to 'H'. Two URLs
+    share a template iff they differ only in those generated parts —
+    '/topic/123?page=7' and '/topic/456?page=9' are the same page TYPE."""
+    t = F.regexp_replace(url, r"[0-9a-fA-F]{16,}", "H")
+    return F.regexp_replace(t, r"[0-9]+", "N")
+
+
+def trap_signal(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 100,
+    amplification_pm: int = 50_000,
+) -> DataFrame:
+    """Crawler-trap detection per host: (host, n_urls, n_templates,
+    amplification_pm, trap) where amplification_pm = 1000 · n_urls /
+    n_templates. Calendar pages, session-id links and faceted search mint
+    unbounded distinct URLs from a handful of page TYPES; a host whose
+    distinct-URL count vastly exceeds its distinct-template count
+    (amplification over ``amplification_pm``, with at least ``min_urls``
+    URLs) is flagged so admission can cap or drop it — the classic frontier
+    defense the reference lists under 'politeness and traps'
+    (`/root/reference/README.md:143-147`).
+
+    One host-keyed aggregate over distinct (host, url) — two
+    count_distincts that share the exchange; no window, no join. Feed it
+    the frontier or url_seen table each round and broadcast the trap list
+    into admission.
+    """
+    u = urls.select(
+        parse_host(F.col(url_col)).alias("host"),
+        F.col(url_col).alias("u"),
+        url_template(F.col(url_col)).alias("t"),
+    ).filter(F.col("host").isNotNull())
+    agg = u.groupBy("host").agg(
+        F.count_distinct("u").cast("long").alias("n_urls"),
+        F.count_distinct("t").cast("long").alias("n_templates"),
+    )
+    amp = F.expr("1000 * n_urls div n_templates")
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        amp.alias("amplification_pm"),
+        (
+            (F.col("n_urls") >= min_urls) & (amp >= amplification_pm)
+        ).alias("trap"),
+    )
