@@ -3081,6 +3081,36 @@ where rnk <= 5
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level Shannon entropy per doc (textstats.char_entropy) — the
+    model-free compression-ratio quality signal (template spam scores low,
+    noise high). Zero shuffle; fixed sorted-character summation order keeps
+    both engines on identical arithmetic."""
+    from webcrawler_spark.pipeline.textstats import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy(d)
+
+
+_TEXT_ENTROPY_SQL = """
+with c as (select doc_id,
+                  list_filter(string_split(text, ''), x -> x != '') as ch
+           from documents),
+u as (select doc_id, ch, list_sort(list_distinct(ch)) as uq,
+             len(ch)::bigint as n
+      from c)
+select doc_id, n as n_chars, len(uq)::bigint as distinct_chars,
+       case when n > 0 then
+         round(list_reduce(
+           list_prepend(0.0, list_transform(uq,
+             c -> -(len(list_filter(ch, x -> x = c))::double / n)
+                   * log2(len(list_filter(ch, x -> x = c))::double / n))),
+           (acc, x) -> acc + x), 4)
+       else 0.0 end as entropy_bits
+from u
+"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_spark.pipeline.textstats import with_token_stats
 
@@ -4355,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_chain": q_robots_sitemap_chain,
         "text_line_dedup": q_text_line_dedup,
         "text_boilerplate": q_text_boilerplate,
+        "text_entropy": q_text_entropy,
         "text_nfc": q_text_nfc,
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
@@ -4473,6 +4504,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemap_chain": _ROBOTS_SITEMAP_CHAIN_SQL,
         "text_line_dedup": _LINE_DEDUP_SQL,
         "text_boilerplate": _TEXT_BOILERPLATE_SQL,
+        "text_entropy": _TEXT_ENTROPY_SQL,
         "text_nfc": _TEXT_NFC_SQL,
         "text_pii_scrub": _PII_SCRUB_SQL,
         "text_repetition": _REPETITION_SQL,

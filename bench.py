@@ -74,6 +74,8 @@ HEADLINE = [
     "doc_chunks",
     "sketch_cms",
     "sketch_kmv",
+    "sketch_hll",
+    "crawl_trap_signal",
     "text_boilerplate",
     "dedup_canonical",
     "events_asof",

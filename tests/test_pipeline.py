@@ -1280,3 +1280,19 @@ def test_trap_signal_flags_generated_urls(spark):
         .collect()[0]["t"]
     )
     assert t == "https://h/x/H/p/N"
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from webcrawler_spark.pipeline.textstats import char_entropy
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, "aab"), (4, ""), (5, "abcd" * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["distinct_chars"] == 1
+    assert out[2]["entropy_bits"] == 1.0
+    want = round(-(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3), 4)
+    assert out[3]["entropy_bits"] == want
+    assert out[4]["n_chars"] == 0 and out[4]["entropy_bits"] == 0.0
+    assert out[5]["entropy_bits"] == 2.0    # uniform over 4 symbols

@@ -416,3 +416,40 @@ def winnow_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    poor-man's compression-ratio quality signal: machine-generated spam
+    (keyword stuffing, repeated templates) sits well below natural prose
+    (~4.0-4.5 bits/char for English), binary-ish noise well above. CCNet
+    uses LM perplexity for this; entropy is its model-free floor and costs
+    one narrow map.
+
+    Returns (id, n_chars, distinct_chars, entropy_bits). Zero-shuffle:
+    everything is per-row array algebra. Cross-engine determinism: the sum
+    runs in SORTED distinct-character order (index-order aggregate over
+    array_sort, the same fixed order the DuckDB twin uses), and the result
+    is rounded to ``decimals``.
+    """
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    uniq = F.array_sort(F.array_distinct(chars))
+    n = F.size(chars)
+
+    def _term(c: Column) -> Column:
+        cnt = F.size(F.filter(chars, lambda x: x == c)).cast("double")
+        p = cnt / n.cast("double")
+        return -p * F.log2(p)
+
+    ent = F.aggregate(uniq, F.lit(0.0), lambda acc, c: acc + _term(c))
+    return spread(df).select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.size(uniq).cast("long").alias("distinct_chars"),
+        F.when(n > 0, F.round(ent, decimals)).otherwise(0.0).alias("entropy_bits"),
+    )
