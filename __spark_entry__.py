@@ -74,6 +74,14 @@ _URLS_SQL = f"""
 _HASH64_SQL = "(('0x' || substr(sha256({x}), 1, 15))::bigint)"
 _HASH64_HI_SQL = "(('0x' || substr(sha256({x}), 16, 15))::bigint)"
 
+
+def _hash64_lane_sql(x: str, lane: int) -> str:
+    """DuckDB twin of textprep.hash64_lane: 60-bit int64 from hex chars
+    1+15*lane .. 15+15*lane of one sha256 digest."""
+    return f"(('0x' || substr(sha256({x}), {1 + 15 * lane}, 15))::bigint)"
+
+
+
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 # count-min / KMV sketch parameters shared by the Spark queries and their
@@ -572,9 +580,9 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cms_user_lanes_sql() -> str:
     parts = []
     for i in range(_CMS_D):
-        salted = _HASH64_SQL.format(x="'cms" + str(i) + ":' || user_id::varchar")
+        h = _hash64_lane_sql("user_id::varchar", i)
         parts.append(
-            f"select {i} as lane, {salted} % {_CMS_W} as bucket from events"
+            f"select {i} as lane, {h} % {_CMS_W} as bucket from events"
         )
     return " union all ".join(parts)
 
@@ -1772,11 +1780,11 @@ def _cms_lanes_sql(src_col: str, src_rel: str) -> str:
     """UNION ALL of the d per-lane (lane, bucket) projections of a column."""
     parts = []
     for i in range(_CMS_D):
-        salted = _HASH64_SQL.format(x="'cms" + str(i) + ":' || " + src_col)
+        h = _hash64_lane_sql(src_col, i)
         parts.append(
             f"select {src_col if src_rel == 'keys' else ''}"
             f"{', ' if src_rel == 'keys' else ''}{i} as lane, "
-            f"{salted} % {_CMS_W} as bucket from {src_rel}"
+            f"{h} % {_CMS_W} as bucket from {src_rel}"
         )
     return " union all ".join(parts)
 

@@ -307,3 +307,22 @@ def test_monitor_job_incremental_drains(spark, tmp_path):
     assert s2["first_seen_urls"] == 40
     est2 = {t["host"]: t["est"] for t in s2["top_hosts"]}
     assert all(est2[h] == 2 * est1[h] for h in est1)
+
+
+def test_cms_monitor_rejects_mismatched_params(spark, tmp_path):
+    import pytest as _pt
+
+    from webcrawler_spark.streaming import cms_monitor
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([("k1",)], "ukey string").write.parquet(src)
+
+    def stream():
+        return spark.readStream.schema("ukey string").parquet(src)
+
+    sk, ck = str(tmp_path / "sk"), str(tmp_path / "ck")
+    cms_monitor(stream(), "ukey", sk, ck, d=4, w=128)
+    # folding the same sketch dir with different geometry must refuse
+    spark.createDataFrame([("k2",)], "ukey string").write.mode("append").parquet(src)
+    with _pt.raises(Exception, match="silently corrupt"):
+        cms_monitor(stream(), "ukey", sk, ck, d=4, w=256)

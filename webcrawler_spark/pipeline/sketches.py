@@ -38,15 +38,20 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textprep import hash64
+from .textprep import hash64, hash64_lane
 
 # hash64 yields 60-bit non-negative values: range [0, 2^60)
 HASH_RANGE = 1 << 60
 
 
 def _lane_bucket(key: Column, lane: int, width: int) -> Column:
-    """Bucket of ``key`` in lane ``lane``: independent per-lane hash via a
-    lane-salted hash64, folded to [0, width)."""
+    """Bucket of ``key`` in lane ``lane``, folded to [0, width). Lanes 0-3
+    slice four independent 60-bit values out of ONE sha256 digest
+    (hash64_lane) — the whole-stage-codegen CSE evaluates that digest once
+    per row, so a d=4 sketch costs ONE hash per key instead of four. Deeper
+    sketches fall back to a lane-salted re-hash."""
+    if lane < 4:
+        return hash64_lane(key, lane) % F.lit(width)
     return hash64(F.concat(F.lit(f"cms{lane}:"), key)) % F.lit(width)
 
 

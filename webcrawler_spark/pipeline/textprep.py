@@ -100,3 +100,13 @@ def cosine_sim(a: Column, b: Column, decimals: int = 4) -> Column:
     """Cosine similarity rounded to ``decimals`` (rounding both engines to the
     same precision absorbs any last-bit FMA differences)."""
     return F.round(dot_double(a, b) / (norm_double(a) * norm_double(b)), decimals)
+
+
+def hash64_lane(s: Column, lane: int) -> Column:
+    """The ``lane``-th independent 60-bit int64 from ONE sha256 digest
+    (hex chars 1-15 / 16-30 / 31-45 / 46-60): four pairwise-independent
+    hashes for the price of a single digest evaluation. lane 0 == hash64,
+    lane 1 == hash64_hi. Lanes >= 4 need a salted re-hash."""
+    if not 0 <= lane < 4:
+        raise ValueError("hash64_lane supports lanes 0..3")
+    return F.conv(F.substring(F.sha2(s, 256), 1 + 15 * lane, 15), 16, 10).cast("long")

@@ -371,10 +371,16 @@ def cms_monitor(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        state = {"version": 0, "last_batch": -1}
+        state = {"version": 0, "last_batch": -1, "d": d, "w": w}
         if os.path.exists(manifest):
             with open(manifest) as fh:
                 state = json.load(fh)
+        if (state.get("d", d), state.get("w", w)) != (d, w):
+            raise ValueError(
+                f"sketch at {sketch_dir} was built with "
+                f"(d={state.get('d')}, w={state.get('w')}); folding with "
+                f"(d={d}, w={w}) would silently corrupt the counters"
+            )
         if batch_id <= state["last_batch"]:
             return  # replayed micro-batch: already folded
         delta = cms_build(batch_df, F.col(key_col), d=d, w=w)
@@ -392,7 +398,9 @@ def cms_monitor(
             os.path.join(sketch_dir, f"v={nv}")
         )
         with open(manifest, "w") as fh:
-            json.dump({"version": nv, "last_batch": batch_id}, fh)
+            json.dump(
+                {"version": nv, "last_batch": batch_id, "d": d, "w": w}, fh
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(_fold)
