@@ -3666,6 +3666,45 @@ from documents cross join (values {vals}) as f(i)
 """
 
 
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection (multimodal.frame_dupes over
+    frame_sample): every 10th blob is planted again under a shifted id (the
+    raw table has no byte-identical payloads), so its sampled frames collide
+    by digest — intros/outros/re-uploads in a real corpus. One digest-keyed
+    aggregate; the cheap exact prefilter before any perceptual near-dup
+    pass."""
+    from webcrawler_spark.pipeline.multimodal import frame_dupes, frame_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    planted = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return frame_dupes(
+        frame_sample(d.unionByName(planted), every_n=10, n_frames_total=100)
+    )
+
+
+def _frame_dedup_sql() -> str:
+    # a digest binds (payload, idx), so every row of a frame_sha group has
+    # the same frame_idx: the struct-min keeper is (min doc_id, that idx)
+    return f"""
+with docs as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000 as doc_id, text from documents where doc_id % 10 = 0),
+fr as (
+  select doc_id, f.i::int as frame_idx,
+         sha256(text || ':' || f.i) as frame_sha
+  from docs cross join (values {", ".join(f"({i})" for i in range(0, 100, 10))}) as f(i))
+select frame_sha, count(*)::bigint as n_copies,
+       count(distinct doc_id)::bigint as n_videos,
+       min(doc_id) as keep_id, min(frame_idx) as keep_idx
+from fr group by frame_sha having count(*) > 1
+"""
+
+
 def q_crawl_queue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full crawl on the bundled deterministic synthetic corpus: the LinkQueue
     drain order reproduced by the §2.2 order theorem. The DuckDB oracle is the
@@ -4374,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "frame_dedup": q_frame_dedup,
         "crawl_queue_order": q_crawl_queue_order,
         "crawl_status_counts": q_crawl_status_counts,
         "crawl_polite_capped": q_crawl_polite_capped,
@@ -4493,6 +4533,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "frame_sample": _frame_sample_sql(),
+        "frame_dedup": _frame_dedup_sql(),
         "crawl_queue_order": _crawl_queue_order_sql(),
         "crawl_status_counts": _crawl_status_counts_sql(),
         "crawl_polite_capped": _crawl_polite_capped_sql(),

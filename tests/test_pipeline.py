@@ -1296,3 +1296,22 @@ def test_char_entropy_known_values(spark):
     assert out[3]["entropy_bits"] == want
     assert out[4]["n_chars"] == 0 and out[4]["entropy_bits"] == 0.0
     assert out[5]["entropy_bits"] == 2.0    # uniform over 4 symbols
+
+
+def test_frame_dupes_cross_video(spark):
+    from webcrawler_spark.pipeline.multimodal import frame_dupes, frame_sample
+
+    rows = [
+        (1, b"payloadA"), (2, b"payloadB"),
+        (3, b"payloadA"),                    # re-upload of video 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    frames = frame_sample(df, every_n=50, n_frames_total=100)  # 2 frames each
+    dupes = frame_dupes(frames).collect()
+    # both of video 1's frames collide with video 3's, keeper = (1, idx)
+    assert len(dupes) == 2
+    for r in dupes:
+        assert r["n_copies"] == 2 and r["n_videos"] == 2
+        assert r["keep_id"] == 1 and r["keep_idx"] in (0, 50)
+    # unique payload never flagged
+    assert all(r["keep_id"] != 2 for r in dupes)

@@ -227,3 +227,37 @@ def feature_extract_batch(
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, blob_col).mapInPandas(fn, out_schema)
+
+
+def frame_dupes(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate frames ACROSS videos from a ``frame_sample`` output:
+    (frame_sha, n_copies, n_videos, keep_id, keep_idx) for every frame
+    digest appearing more than once — intros, outros, test cards and
+    re-uploads shared between containers. keep = the (id, frame_idx)-min
+    occurrence; all others are the delete/skip set for feature extraction.
+
+    One digest-keyed combiner aggregate — the video twin of exact text
+    dedup, and the cheap prefilter before any perceptual-hash near-dup
+    pass. At corpus scale the digest relation is frames × 64 bytes, skew-
+    free by construction (sha keys)."""
+    return (
+        frames.groupBy("frame_sha")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.count_distinct(id_col).cast("long").alias("n_videos"),
+            F.min(
+                F.struct(F.col(id_col).alias("kid"), F.col("frame_idx").alias("kidx"))
+            ).alias("_k"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "frame_sha",
+            "n_copies",
+            "n_videos",
+            F.col("_k.kid").alias("keep_id"),
+            F.col("_k.kidx").alias("keep_idx"),
+        )
+    )
