@@ -77,6 +77,7 @@ HEADLINE = [
     "sketch_hll",
     "crawl_trap_signal",
     "text_boilerplate",
+    "text_entropy",
     "dedup_canonical",
     "events_asof",
     "events_range_join",
