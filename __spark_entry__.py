@@ -1558,7 +1558,7 @@ def q_refresh_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = spark.range(4).select(F.col("id").alias("r"))
     hist = u.crossJoin(rounds).select(
         "url",
-        F.expr("timestampadd(DAY, int(r), cast(warc_ts as timestamp))").alias("fetch_ts"),
+        F.expr("timestampadd(DAY, int(r), cast(warc_ts as timestamp_ntz))").alias("fetch_ts"),
         F.when((F.col("rank") + F.col("r")) % 3 == 0, F.lit("MODIFIED"))
         .otherwise(F.lit("NOT_MODIFIED"))
         .alias("outcome"),
@@ -1703,7 +1703,7 @@ _CORPUS_SPLIT_SQL = f"""
 select case when {_HASH64_SQL.format(x="doc_id::varchar")} % 1000 < 900 then 'train'
             when {_HASH64_SQL.format(x="doc_id::varchar")} % 1000 < 950 then 'valid'
             else 'test' end as split,
-       count(*) as n_docs, sum(n_chars) as sum_chars
+       count(*) as n_docs, sum(n_chars)::bigint as sum_chars
 from documents group by 1
 """
 
@@ -1722,7 +1722,7 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORPUS_SAMPLE_SQL = f"""
-select source, count(*) as n_sampled, sum(n_chars) as sum_chars
+select source, count(*) as n_sampled, sum(n_chars)::bigint as sum_chars
 from documents
 where {_HASH64_SQL.format(x="doc_id::varchar")} % 1000 < 100
 group by source
@@ -1971,7 +1971,8 @@ with ordered as (
              rows between unbounded preceding and 1 preceding), 0) as cumb
   from documents
 )
-select cumb // 10000 as shard_id, count(*) as n_docs, sum(n_chars) as sum_chars
+select (cumb // 10000)::bigint as shard_id, count(*) as n_docs,
+       sum(n_chars)::bigint as sum_chars
 from ordered group by 1
 """
 
@@ -2006,10 +2007,11 @@ def _mixture_sql() -> str:
     return f"""
 with w(source, w_pm) as (values {values}),
 rates as (
-  select d.source, least(1000, ({_MIXTURE_BUDGET} * w.w_pm) // sum(d.n_chars)) as rate_pm
+  select d.source,
+         least(1000, ({_MIXTURE_BUDGET} * w.w_pm) // sum(d.n_chars))::bigint as rate_pm
   from documents d join w using (source) group by d.source, w.w_pm
 )
-select d.source, r.rate_pm, count(*) as n_kept, sum(d.n_chars) as chars_kept
+select d.source, r.rate_pm, count(*) as n_kept, sum(d.n_chars)::bigint as chars_kept
 from documents d join rates r using (source)
 where {_HASH64_SQL.format(x="doc_id::varchar")} % 1000 < r.rate_pm
 group by 1, 2
@@ -2202,7 +2204,7 @@ tg as (
 ),
 counts as (select g, count(*) as n_docs from tg group by g)
 select tg.doc_id, count(*) as n_grams,
-       sum((counts.n_docs >= 2)::bigint) as n_dup_grams,
+       sum((counts.n_docs >= 2)::bigint)::bigint as n_dup_grams,
        round(sum((counts.n_docs >= 2)::bigint) / count(*), 4) as dup_ratio
 from tg join counts using (g)
 group by tg.doc_id
@@ -3418,7 +3420,7 @@ with cur as (
   from documents where doc_id % 5 != 0),
 toks as (select doc_id, unnest({_TOKS_SQL}) as term from cur),
 p as (select term, doc_id, count(*)::bigint as tf from toks group by 1, 2)
-select doc_id, count(*)::bigint as n_terms, sum(tf) as sum_tf
+select doc_id, count(*)::bigint as n_terms, sum(tf)::bigint as sum_tf
 from p group by doc_id
 """
 
@@ -3495,7 +3497,7 @@ bins as (select score_e4 as bin, count(*) as c from q group by 1),
 mapping as (
   select bin,
          least(9, (coalesce(sum(c) over (order by bin rows between unbounded preceding and 1 preceding), 0) * 10)
-                   // (sum(c) over ())) as bucket
+                   // (sum(c) over ()))::bigint as bucket
   from bins)
 select mp.bucket, count(*) as n_docs, min(q.score_e4) as min_e4, max(q.score_e4) as max_e4
 from q join mapping mp on q.score_e4 = mp.bin

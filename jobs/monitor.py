@@ -38,14 +38,47 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 from pyspark.sql import functions as F
 
 
+_WATCH_CAP = 100_000  # standing host watch list bound (hosts, not pages)
+
+
+def _load_state(state_dir: str) -> dict:
+    path = os.path.join(state_dir, "monitor_state.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {"n_seen": 0, "hosts": []}
+
+
+def _save_state(state_dir: str, state: dict) -> None:
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, "monitor_state.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, path)
+
+
 def run(spark, pages_dir: str, state_dir: str, d: int, w: int, topk: int) -> dict:
     from webcrawler_spark.functions import parse_host
     from webcrawler_spark.pipeline.sketches import cms_estimate
     from webcrawler_spark.streaming import PAGES_SCHEMA, cms_monitor, first_seen, run_available_now
 
     t0 = time.monotonic()
+    state = _load_state(state_dir)
+    watch = set(state.get("hosts", []))
 
-    # 1. fold new pages' hosts into the standing CMS
+    # 1. fold new pages' hosts into the standing CMS; the batch hook keeps
+    # an incremental host watch list from the DRAINED slice only, so each
+    # cron invocation's cost tracks the new data, not all history.
+    def _watch_hosts(batch_df, batch_id: int) -> None:
+        fresh = [
+            r["host"]
+            for r in batch_df.select(F.col("host")).distinct().collect()
+            if r["host"]
+        ]
+        watch.update(fresh)
+
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
     hosts = stream.select(parse_host(F.col("url")).alias("host"))
     sketch = cms_monitor(
@@ -55,29 +88,30 @@ def run(spark, pages_dir: str, state_dir: str, d: int, w: int, topk: int) -> dic
         checkpoint_dir=os.path.join(state_dir, "ckpt_cms"),
         d=d,
         w=w,
+        batch_hook=_watch_hosts,
     )
 
-    # 2. exactly-once first-seen URL log (its own checkpoint/offsets)
+    # 2. exactly-once first-seen URL log (its own checkpoint/offsets);
+    # n_seen is tracked incrementally from this drain's sink row count —
+    # no re-count of the growing parquet, and no read of a sink dir that a
+    # zero-row first drain never created.
     stream2 = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
-    run_available_now(
+    new_seen = run_available_now(
         first_seen(stream2, ["url"]),
         out_dir=os.path.join(state_dir, "first_seen"),
         checkpoint_dir=os.path.join(state_dir, "ckpt_seen"),
     )
-    seen_dir = os.path.join(state_dir, "first_seen")
-    n_seen = spark.read.parquet(seen_dir).count()
+    n_seen = int(state.get("n_seen", 0)) + new_seen
 
-    # 3. digest: estimated counts for every host in the full batch view
-    # (candidate set = distinct hosts of the input dir — bounded by the
-    # site list, not the page count; at larger scale pass a watch list)
-    cand = [
-        r["host"]
-        for r in spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
-        .select(parse_host(F.col("url")).alias("host"))
-        .distinct()
-        .collect()
-        if r["host"]
-    ]
+    if len(watch) > _WATCH_CAP:
+        # deterministic bound: keep the lexicographically-first cap (a real
+        # deployment would keep the top-estimate hosts; either way, bounded)
+        watch = set(sorted(watch)[:_WATCH_CAP])
+    _save_state(state_dir, {"n_seen": n_seen, "hosts": sorted(watch)})
+
+    # 3. digest: estimated counts for the standing watch list (bounded by
+    # _WATCH_CAP hosts — not by pages ever landed)
+    cand = sorted(watch)
     top = []
     if sketch is not None and cand:
         top = [

@@ -158,3 +158,24 @@ def test_asof_join_matches_sequential_oracle_on_random_data(spark):
             assert got[i] == (None, None)
         else:
             assert got[i] == want, (i, h, ts, got[i], want)
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """Right rows with a NULL timestamp must never match (DuckDB ASOF JOIN /
+    pandas merge_asof semantics) — before the r4 fix they sorted nulls-first
+    in the carry window and leaked their payload into every left row that
+    preceded the first real right row (ADVICE r3)."""
+    from webcrawler_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "h1", _ts(1)), (2, "h1", _ts(10))],
+        "event_id long, host string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("h1", None, 999.0), ("h1", _ts(5), 50.0)],
+        "host string, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r for r in asof_join(left, right, on=["host"]).collect()}
+    # event 1 precedes every real right row: NO match, not the null-ts payload
+    assert out[1]["value"] is None and out[1]["ts_asof"] is None
+    assert out[2]["value"] == 50.0

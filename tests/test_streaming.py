@@ -326,3 +326,42 @@ def test_cms_monitor_rejects_mismatched_params(spark, tmp_path):
     spark.createDataFrame([("k2",)], "ukey string").write.mode("append").parquet(src)
     with _pt.raises(Exception, match="silently corrupt"):
         cms_monitor(stream(), "ukey", sk, ck, d=4, w=256)
+
+
+def test_cms_monitor_survives_corrupt_manifest(spark, tmp_path):
+    """A torn/corrupt MANIFEST.json (crash mid-write before the r4 atomic-
+    replace discipline) must not wedge the monitor: read_sketch falls back to
+    the highest complete v=N dir, and a later fold resumes from it without
+    double-counting the already-folded batch (per-version meta sidecar)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.pipeline.sketches import cms_build
+    from webcrawler_spark.streaming import cms_monitor, read_sketch
+
+    rows = [(f"k{i % 10}",) for i in range(100)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "ukey string").coalesce(1).write.parquet(src)
+    sk_dir, ck = str(tmp_path / "sk"), str(tmp_path / "ck")
+
+    def stream():
+        return spark.readStream.schema("ukey string").parquet(src)
+
+    cms_monitor(stream(), "ukey", sk_dir, ck, d=4, w=64)
+    good = json.load(open(f"{sk_dir}/MANIFEST.json"))
+
+    # corrupt the manifest: truncated JSON
+    with open(f"{sk_dir}/MANIFEST.json", "w") as fh:
+        fh.write('{"version": ')
+
+    rec = read_sketch(spark, sk_dir)
+    batch = cms_build(spark.read.parquet(src), F.col("ukey"), d=4, w=64)
+    assert rec is not None
+    assert rec.exceptAll(batch).count() == 0 and batch.exceptAll(rec).count() == 0
+
+    # a re-drain on the same checkpoint folds nothing (replay guard intact
+    # via the v=N.meta.json sidecar) and repairs the manifest
+    out2 = cms_monitor(stream(), "ukey", sk_dir, ck, d=4, w=64)
+    assert out2.exceptAll(batch).count() == 0
+    assert json.load(open(f"{sk_dir}/MANIFEST.json"))["version"] == good["version"]

@@ -82,7 +82,10 @@ def asof_join(
         left.withColumn("_ats", F.col(left_ts))
         .withColumn("_side", F.lit(1))
     )
-    rt = right.select(
+    # Null-ts right rows would sort nulls-first in the window and be carried
+    # forward as spurious matches; DuckDB ASOF JOIN / pandas merge_asof never
+    # match them (ADVICE r3), so drop them before the union.
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
         *key,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),

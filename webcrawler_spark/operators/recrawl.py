@@ -112,5 +112,9 @@ def refresh_schedule(
         "last_ts",
         "streak",
         interval.alias("interval_ms"),
-        (F.unix_millis(F.col("last_ts")) + interval).alias("next_fetch_ms"),
+        # cast accepts both LTZ (no-op) and NTZ inputs; the session timezone
+        # is pinned to UTC (session.py), so NTZ epoch math is tz-faithful
+        (F.unix_millis(F.col("last_ts").cast("timestamp_ltz")) + interval).alias(
+            "next_fetch_ms"
+        ),
     )

@@ -269,12 +269,16 @@ def run_available_now(
     checkpoint_dir: str,
     output_mode: str = "append",
     timeout_sec: int = 600,
-) -> None:
+) -> int:
     """Drain all currently-available input, write parquet, stop (the cron
     consumer's wake→drain→stop cycle with exactly-once via the checkpoint).
 
     Re-running after a crash resumes from the checkpoint offsets — the
     streaming twin of SnapshotStore round resumption.
+
+    Returns the number of rows the sink wrote during THIS drain (summed from
+    the query's progress events) so callers can maintain incremental
+    counters instead of re-counting the ever-growing output table.
     """
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -287,6 +291,25 @@ def run_available_now(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+    # FileSink reports numOutputRows = -1, so fall back through the metrics
+    # that do carry the emitted-row count: a dedupe state operator's
+    # numRowsUpdated IS its append-mode output (each newly-seen key emits
+    # once), and a stateless passthrough emits its input. Callers with other
+    # shapes (windowed aggs) should not rely on this count.
+    written = 0
+    for prog in q.recentProgress or []:
+        prog = prog or {}
+        n = (prog.get("sink") or {}).get("numOutputRows")
+        if isinstance(n, (int, float)) and n >= 0:
+            written += int(n)
+            continue
+        ops = prog.get("stateOperators") or []
+        dedupe = [o for o in ops if o.get("operatorName") == "dedupe"]
+        if dedupe:
+            written += int(dedupe[0].get("numRowsUpdated", 0))
+        elif not ops:
+            written += int(prog.get("numInputRows", 0))
+    return written
 
 
 def first_seen(
@@ -323,14 +346,55 @@ def read_sketch(spark: SparkSession, sketch_dir: str) -> Optional[DataFrame]:
     import json
     import os
 
+    state = _read_sketch_state(sketch_dir)
+    if state is None or state.get("version", 0) < 1:
+        return None
+    return spark.read.parquet(os.path.join(sketch_dir, f"v={state['version']}"))
+
+
+def _read_sketch_state(sketch_dir: str) -> Optional[dict]:
+    """Load the sketch MANIFEST, tolerating a corrupt/partial file by
+    falling back to the highest COMPLETE version dir (one with a parquet
+    ``_SUCCESS`` marker). The manifest itself is written via tmp-file +
+    os.replace (see ``cms_monitor``), so corruption only happens if a crash
+    predates that discipline — but a monitor must never wedge permanently on
+    one bad byte."""
+    import json
+    import os
+    import re
+
     manifest = os.path.join(sketch_dir, "MANIFEST.json")
     if not os.path.exists(manifest):
         return None
-    with open(manifest) as fh:
-        state = json.load(fh)
-    if state.get("version", 0) < 1:
+    try:
+        with open(manifest) as fh:
+            return json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        pass
+    best = 0
+    if os.path.isdir(sketch_dir):
+        for name in os.listdir(sketch_dir):
+            m = re.fullmatch(r"v=(\d+)", name)
+            if m and os.path.exists(os.path.join(sketch_dir, name, "_SUCCESS")):
+                best = max(best, int(m.group(1)))
+    if best == 0:
         return None
-    return spark.read.parquet(os.path.join(sketch_dir, f"v={state['version']}"))
+    # Each version carries a sidecar v=N.meta.json (written before the
+    # manifest commit; kept OUTSIDE the parquet dir so readers never trip on
+    # a non-parquet file), so recovery knows which batch the surviving
+    # version already folded — a replayed micro-batch is NOT folded twice.
+    meta_path = os.path.join(sketch_dir, f"v={best}.meta.json")
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        meta = {}
+    return {
+        "version": best,
+        "last_batch": meta.get("last_batch", -1),
+        "d": meta.get("d"),
+        "w": meta.get("w"),
+    }
 
 
 def cms_monitor(
@@ -341,6 +405,7 @@ def cms_monitor(
     d: int = 4,
     w: int = 1024,
     timeout_sec: int = 600,
+    batch_hook=None,
 ) -> Optional[DataFrame]:
     """Standing count-min frequency monitor over a stream: each micro-batch's
     sketch (pipeline/sketches.cms_build) is folded into a persistent sketch
@@ -371,11 +436,10 @@ def cms_monitor(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        state = {"version": 0, "last_batch": -1, "d": d, "w": w}
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                state = json.load(fh)
-        if (state.get("d", d), state.get("w", w)) != (d, w):
+        state = _read_sketch_state(sketch_dir) or {
+            "version": 0, "last_batch": -1, "d": d, "w": w,
+        }
+        if (state.get("d") or d, state.get("w") or w) != (d, w):
             raise ValueError(
                 f"sketch at {sketch_dir} was built with "
                 f"(d={state.get('d')}, w={state.get('w')}); folding with "
@@ -383,6 +447,12 @@ def cms_monitor(
             )
         if batch_id <= state["last_batch"]:
             return  # replayed micro-batch: already folded
+        if batch_hook is not None:
+            # Observer over the DRAINED slice only (e.g. the monitor job's
+            # incremental host watch list) — the candidate set then costs a
+            # distinct over this batch, not over all history. Set-union
+            # consumers stay idempotent under the rare fold/hook replay.
+            batch_hook(batch_df, batch_id)
         delta = cms_build(batch_df, F.col(key_col), d=d, w=w)
         if state["version"] >= 1:
             cur = sp.read.parquet(
@@ -394,13 +464,22 @@ def cms_monitor(
                 .agg(F.sum("cnt").alias("cnt"))
             )
         nv = state["version"] + 1
-        delta.write.mode("overwrite").parquet(
-            os.path.join(sketch_dir, f"v={nv}")
-        )
-        with open(manifest, "w") as fh:
-            json.dump(
-                {"version": nv, "last_batch": batch_id, "d": d, "w": w}, fh
-            )
+        vdir = os.path.join(sketch_dir, f"v={nv}")
+        delta.write.mode("overwrite").parquet(vdir)
+        # Commit protocol (same tmp-file + os.replace discipline as
+        # SnapshotStore, storage.py): (1) per-version fold-metadata sidecar,
+        # so manifest loss never replays an already-folded batch;
+        # (2) atomic manifest swap — a crash at any byte leaves either the
+        # old complete manifest or the new complete one, never a torn file.
+        fold_meta = {"last_batch": batch_id, "d": d, "w": w}
+        meta_tmp = vdir + ".meta.json.tmp"
+        with open(meta_tmp, "w") as fh:
+            json.dump(fold_meta, fh)
+        os.replace(meta_tmp, vdir + ".meta.json")
+        man_tmp = manifest + ".tmp"
+        with open(man_tmp, "w") as fh:
+            json.dump({"version": nv, **fold_meta}, fh)
+        os.replace(man_tmp, manifest)
 
     q = (
         stream_df.writeStream.foreachBatch(_fold)
@@ -411,4 +490,25 @@ def cms_monitor(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+    # Self-heal: if the manifest is torn (pre-r4 crash) but a complete
+    # version exists, rewrite the manifest from the recovered state so the
+    # store is clean again even when this drain folded no new batch.
+    try:
+        with open(manifest) as fh:
+            json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        state = _read_sketch_state(sketch_dir)
+        if state is not None and state.get("version", 0) >= 1:
+            man_tmp = manifest + ".tmp"
+            with open(man_tmp, "w") as fh:
+                json.dump(
+                    {
+                        "version": state["version"],
+                        "last_batch": state["last_batch"],
+                        "d": state.get("d") or d,
+                        "w": state.get("w") or w,
+                    },
+                    fh,
+                )
+            os.replace(man_tmp, manifest)
     return read_sketch(stream_df.sparkSession, sketch_dir)
