@@ -3354,6 +3354,46 @@ select doc_id, n_spans from m where n_spans > 0
 """
 
 
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighted search snippets (search.snippets) — the reference's search
+    API returns a snippet per hit (README.md:126-130, milestone 3
+    "highlighting/snippets"). Best-fragment selection: the anchor maximizing
+    query-term occurrences in a 12-token window, ties to the leftmost; <em>
+    markers around matched terms. Pure per-row array algebra — zero shuffle;
+    the oracle recomputes anchor choice and rendering from raw token
+    positions, so the argmax and slicing are genuinely cross-checked."""
+    from webcrawler_spark.pipeline.search import snippets
+
+    d = _t(spark, sf_dir, "documents")
+    return snippets(d, _BM25_TERMS, frag_len=12, lead=3)
+
+
+_SEARCH_SNIPPETS_SQL = f"""
+with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+mp as (
+  select doc_id, tk,
+         list_filter(range(1, len(tk) + 1),
+                     i -> list_contains(['merge', 'spark', 'vector'], tk[i])) as mpos
+  from toks),
+cand as (
+  select doc_id, tk, p,
+         len(list_filter(mpos, q -> q >= p and q < p + 12)) as hits
+  from mp, unnest(mpos) as u(p)
+  where len(mpos) > 0),
+best as (
+  select doc_id, tk, p, hits
+  from cand
+  qualify row_number() over (partition by doc_id order by hits desc, p asc) = 1)
+select doc_id, hits::bigint as n_frag_hits,
+       array_to_string(
+         list_transform(tk[greatest(1, p - 3) : greatest(1, p - 3) + 11],
+                        t -> case when list_contains(['merge', 'spark', 'vector'], t)
+                             then '<em>' || t || '</em>' else t end),
+         ' ') as snippet
+from best
+"""
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 TF-IDF keywords (search.tfidf_topk_terms): postings and
     document frequencies share the term key (reused exchange), top-k is a
@@ -4439,6 +4479,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boolean": q_search_boolean,
         "search_phrase": q_search_phrase,
         "search_proximity": q_search_proximity,
+        "search_snippets": q_search_snippets,
         "tfidf_keywords": q_tfidf_keywords,
         "index_refresh": q_index_refresh,
         "warc_roundtrip": q_warc_roundtrip,
@@ -4558,6 +4599,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": _BM25_SQL,
         "search_boolean": _SEARCH_BOOLEAN_SQL,
         "search_phrase": _SEARCH_PHRASE_SQL,
+        "search_snippets": _SEARCH_SNIPPETS_SQL,
         "search_proximity": _SEARCH_PROXIMITY_SQL,
         "tfidf_keywords": _TFIDF_SQL,
         "index_refresh": _INDEX_REFRESH_SQL,

@@ -69,6 +69,7 @@ HEADLINE = [
     "quality_deciles",
     "search_phrase",
     "search_boolean",
+    "search_snippets",
     "host_pagerank",
     "frontier_pr_admission",
     "doc_chunks",

@@ -136,3 +136,14 @@ def test_sketch_cms_single_aggregation_shape(spark):
     assert sum("_groupingexpression" in l for l in hashex) == 1, hashex
     assert len(hashex) <= 4, hashex
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_search_snippets_plan_has_no_exchange(spark):
+    """snippets() is a pure per-row map (match filter, anchor argmax, slice,
+    highlight are all array built-ins over the row's own tokens) — its plan
+    must stay shuffle-free apart from the explicit spread() repartition of a
+    single-file local scan, which is a RoundRobin exchange, never a hash
+    one. Zero hash exchanges == zero data-keyed shuffles at 100 TB."""
+    p = _plan(spark, "search_snippets")
+    assert "hashpartitioning" not in p.lower()
+    assert "CartesianProduct" not in p

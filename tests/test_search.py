@@ -274,3 +274,57 @@ def test_boolean_match_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         boolean_match(df, should=[])
+
+
+def test_snippets_best_fragment_and_highlight(spark):
+    """Anchor = window with the most query-term hits (tie -> leftmost);
+    fragment starts `lead` tokens before the anchor, clamped at the doc
+    start; every query term inside the fragment gets <em> markers."""
+    from webcrawler_spark.pipeline.search import snippets
+
+    docs = spark.createDataFrame(
+        [
+            # one early lone hit, then a dense cluster later: the cluster
+            # (3 hits in a 6-token window) must win over the leftmost hit
+            (1, "spark a b c d e f g h i j k l spark m vector n spark o p"),
+            # single hit at position 1: lead clamps to doc start
+            (2, "spark is first here and nothing else matches"),
+            # no hits at all: excluded from output
+            (3, "entirely unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in snippets(docs, ["spark", "vector"], frag_len=6, lead=2).collect()
+    }
+    assert set(rows) == {1, 2}
+    # doc 1: anchor at 'spark' (pos 14); window [14,19] holds spark,vector,spark
+    assert rows[1].n_frag_hits == 3
+    assert rows[1].snippet == "k l <em>spark</em> m <em>vector</em> n"
+    # doc 2: anchor pos 1, lead clamped
+    assert rows[2].n_frag_hits == 1
+    assert rows[2].snippet.startswith("<em>spark</em> is first")
+
+
+def test_snippets_tie_breaks_leftmost(spark):
+    from webcrawler_spark.pipeline.search import snippets
+
+    docs = spark.createDataFrame(
+        [(1, "alpha x x x x x x x x x alpha")], "doc_id long, text string"
+    )
+    r = snippets(docs, ["alpha"], frag_len=4, lead=0).collect()[0]
+    # both anchors see exactly one hit; leftmost (pos 1) must win
+    assert r.n_frag_hits == 1
+    assert r.snippet == "<em>alpha</em> x x x"
+
+
+def test_search_topk_snippets_endpoint(spark, corpus_df):
+    """The full search-endpoint row: BM25 order with a snippet per hit."""
+    from webcrawler_spark.pipeline.search import bm25_topk, search_topk_snippets
+
+    out = search_topk_snippets(corpus_df, ["spark", "vector"], k=3, frag_len=5)
+    rows = out.collect()
+    want = [r.doc_id for r in bm25_topk(corpus_df, ["spark", "vector"], k=3).collect()]
+    assert [r.doc_id for r in rows] == want
+    assert all(r.snippet and "<em>" in r.snippet for r in rows)

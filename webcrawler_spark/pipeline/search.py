@@ -329,6 +329,107 @@ def proximity_match(
     )
 
 
+def snippets(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    frag_len: int = 12,
+    lead: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hl: tuple = ("<em>", "</em>"),
+) -> DataFrame:
+    """Highlighted result snippets — the reference's search API returns a
+    ``snippet`` per hit (`/root/reference/README.md:126-130`, milestone 3
+    "search endpoint with highlighting/snippets"); this is that surface over
+    the document table.
+
+    Per matching document (>= 1 query-term occurrence) emit the BEST
+    fragment: the anchor position p maximizing the number of query-term
+    occurrences inside the ``frag_len``-token window [p, p+frag_len-1]
+    (ties -> smallest p, the classic best-fragment highlighter), then render
+    tokens [max(1, p-lead), +frag_len) with every query term wrapped in the
+    ``hl`` markers (ES-style ``<em>``).
+
+    Returns (doc_id, n_frag_hits, snippet); deterministic — anchor choice is
+    a pure function of token positions.
+
+    Scale shape: a narrow per-row map — zero shuffle, zero joins. The
+    match-position scan, anchor argmax, slice, and highlight are all array
+    built-ins over each row's own tokens; non-matching documents are dropped
+    by a scan-stage filter, so cost is proportional to MATCHING docs. Pair
+    with ``bm25_topk`` (search_topk_snippets) to fragment only the k hits.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    pre, post = hl
+
+    toks = tokens_col(F.col(text_col))
+    d = spread(df).select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+    mpos = F.filter(
+        F.sequence(F.lit(1), F.size("_tk")),
+        lambda i: F.array_contains(terms_arr, F.element_at("_tk", i)),
+    )
+    d = d.withColumn("_mpos", mpos).filter(F.size("_mpos") > 0)
+
+    def span_hits(p):
+        return F.size(
+            F.filter(F.col("_mpos"), lambda q: (q >= p) & (q < p + frag_len))
+        )
+
+    # array_min over struct(-hits, p) == argmax hits, tie -> min p
+    best = F.array_min(
+        F.transform(
+            F.col("_mpos"),
+            lambda p: F.struct((-span_hits(p)).alias("nc"), p.alias("p")),
+        )
+    )
+    d = d.withColumn("_best", best)
+    fstart = F.greatest(F.lit(1), F.col("_best")["p"] - lead)
+    frag = F.slice("_tk", fstart, frag_len)
+    highlighted = F.array_join(
+        F.transform(
+            frag,
+            lambda t: F.when(
+                F.array_contains(terms_arr, t), F.concat(F.lit(pre), t, F.lit(post))
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        (-F.col("_best")["nc"]).cast("long").alias("n_frag_hits"),
+        highlighted.alias("snippet"),
+    )
+
+
+def search_topk_snippets(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    frag_len: int = 12,
+    lead: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full search-endpoint row: top-k BM25 hits, each with its
+    highlighted snippet — (doc_id, score, snippet). The k-row hit list is
+    broadcast back onto the doc table so only the k result docs are ever
+    re-tokenized for fragmenting; deterministic tie-break (score desc,
+    doc_id asc)."""
+    hits = bm25_topk(df, query_terms, k, id_col, text_col)
+    hit_docs = df.join(
+        F.broadcast(hits.select(F.col("doc_id").alias(id_col), "score")), id_col
+    )
+    frags = snippets(
+        hit_docs, query_terms, frag_len, lead, id_col=id_col, text_col=text_col
+    )
+    return (
+        hits.select("doc_id", "score")
+        .join(frags.select("doc_id", "snippet"), "doc_id", "left")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
 def boolean_match(
     df: DataFrame,
     should: Sequence[str],
