@@ -3860,6 +3860,113 @@ def _crawl_status_counts_sql() -> str:
     )
 
 
+def _gate_corpus():
+    """Planted corpus for the content gate (README.md:60,212): every 7th url
+    (sorted order) fetches as application/pdf, every 11th as IMAGE/PNG with a
+    header parameter (case + parameter normalization exercised), the rest as
+    Text/HTML; charset=UTF-8; max_content_bytes sits at the corpus's 90th
+    size percentile so ~10% of pages — html-typed ones included — are
+    oversize. Returns (corpus, url->content_type, max_content_bytes)."""
+    from webcrawler_spark.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=11, n_hosts=4, n_pages=60)
+    ctypes = {}
+    for i, u in enumerate(sorted(corpus.pages)):
+        if i % 7 == 3:
+            ctypes[u] = "application/pdf"
+        elif i % 11 == 5:
+            ctypes[u] = "IMAGE/PNG; q=0.8"
+        else:
+            ctypes[u] = "Text/HTML; charset=UTF-8"
+    sizes = sorted(len(h.encode("utf-8")) for (_, h, _) in corpus.pages.values())
+    mcb = sizes[int(len(sizes) * 0.9)]
+    return corpus, ctypes, mcb
+
+
+_GATE_CFG = dict(
+    max_depth=2,
+    content_rules={"minCharacter": 0, "tagName": "p"},
+    allowed_content_types=["text/html"],
+)
+
+
+def q_crawl_content_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowedContentTypes + max-content-size gate end-to-end
+    (operators/contentgate; README.md:60 "allowedContentTypes: [text/html]",
+    :212 "max content size limits" — declared-only in the reference): a full
+    crawl over a corpus with planted PDF / PNG / oversize fetches. Gated rows
+    must harvest no links during traversal AND surface as
+    SKIPPED_CONTENT_TYPE / SKIPPED_TOO_LARGE docs carrying their real fetch
+    evidence (http_status, the response's content type) — both checked
+    against the sequential oracle with the same gate. n_ctypes pins that
+    SKIPPED_CONTENT_TYPE rows keep the RAW header value (2 distinct planted
+    types), not a normalized one."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.rounds import run_crawl
+
+    corpus, ctypes, mcb = _gate_corpus()
+    rows = corpus.rows()
+    for r in rows:
+        r["content_type"] = ctypes[r["url"]]
+    pages = spark.createDataFrame(rows)
+    cfg = CrawlConfig(max_content_bytes=mcb, **_GATE_CFG)
+    res = run_crawl(spark, pages, corpus.seeds, cfg, with_processor=True)
+    return res.docs.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum("http_status").alias("sum_http"),
+        F.sum("content_length").alias("sum_clen"),
+        F.count_distinct("content_type").alias("n_ctypes"),
+    )
+
+
+def _crawl_content_gate_sql() -> str:
+    """Golden from the sequential oracle (oracle.gate_status_oracle) with the
+    same planted corpus, content types and size cap."""
+    from collections import defaultdict
+
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.oracle import crawl_oracle
+
+    corpus, ctypes, mcb = _gate_corpus()
+    cfg = CrawlConfig(max_content_bytes=mcb, **_GATE_CFG)
+    o = crawl_oracle(
+        {u: h for u, (t, h, l) in corpus.pages.items()},
+        corpus.seeds,
+        cfg,
+        with_processor=True,
+        meta=corpus.meta,
+        content_types=ctypes,
+    )
+    agg: dict = defaultdict(lambda: [0, 0, None, 0, set()])
+    for pos, d in enumerate(o.docs):
+        a = agg[d["status"]]
+        a[0] += 1
+        a[1] += pos
+        if d["http_status"] is not None:
+            a[2] = (a[2] or 0) + d["http_status"]
+        a[3] += d["content_length"]
+        st = d["status"]
+        if st in ("OK", "DUPLICATE", "ERROR_PARSE"):
+            a[4].add("text/html")  # the docs-path literal
+        elif st in ("SKIPPED_CONTENT_TYPE", "SKIPPED_TOO_LARGE"):
+            a[4].add(ctypes[d["url"]])  # raw header value preserved
+
+    def lit(v):
+        return "null::bigint" if v is None else str(v)
+
+    vals = ", ".join(
+        f"('{s}', {a[0]}, {lit(a[1])}, {lit(a[2])}, {lit(a[3])}, {len(a[4])})"
+        for s, a in agg.items()
+    )
+    return (
+        "select status, n::bigint as n, sum_pos::bigint as sum_pos, "
+        "sum_http::bigint as sum_http, sum_clen::bigint as sum_clen, "
+        "n_ctypes::bigint as n_ctypes "
+        f"from (values {vals}) t(status, n, sum_pos, sum_http, sum_clen, n_ctypes)"
+    )
+
+
 _POLITE_CORPUS = dict(seed=11, n_hosts=4, n_pages=28)
 _POLITE_CAPPED_CFG = dict(
     max_depth=2, per_host_budget=3, global_qps=1,
@@ -4500,6 +4607,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_polite_capped": q_crawl_polite_capped,
         "crawl_max_pages": q_crawl_max_pages,
         "crawl_timed_politeness": q_crawl_timed_politeness,
+        "crawl_content_gate": q_crawl_content_gate,
         "catalog_lifecycle": q_catalog_lifecycle,
         "fetch_retry_policy": q_fetch_retry_policy,
         "recrawl_diff": q_recrawl_diff,
@@ -4621,6 +4729,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_polite_capped": _crawl_polite_capped_sql(),
         "crawl_max_pages": _crawl_max_pages_sql(),
         "crawl_timed_politeness": _crawl_timed_politeness_sql(),
+        "crawl_content_gate": _crawl_content_gate_sql(),
         "catalog_lifecycle": _CATALOG_LIFECYCLE_SQL,
         "fetch_retry_policy": _FETCH_RETRY_SQL,
         "recrawl_diff": _RECRAWL_DIFF_SQL,

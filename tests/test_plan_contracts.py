@@ -147,3 +147,61 @@ def test_search_snippets_plan_has_no_exchange(spark):
     p = _plan(spark, "search_snippets")
     assert "hashpartitioning" not in p.lower()
     assert "CartesianProduct" not in p
+
+
+def test_content_gate_filter_sits_below_the_parse_stage(spark):
+    """The content gate's whole point at 100 TB: disallowed-type / oversize
+    rows must be filtered out BEFORE rows cross into the Python parse stage
+    (no Arrow transfer, no decode for skipped bytes). Pin it structurally:
+    in the formatted plan of a gated process_queue, the content-type/length
+    Filter appears strictly below (= printed after, deeper in the tree than)
+    the MapInPandas/ArrowEvalPython node feeding doc assembly."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.rounds import process_queue
+
+    pages = spark.createDataFrame(
+        [("https://a.com/x", bytearray(b"<p>hello</p>"), "text/html")],
+        "url string, html binary, content_type string",
+    )
+    queue = spark.createDataFrame([("https://a.com/x", 0)], "url string, pos long")
+    cfg = CrawlConfig(
+        max_depth=1,
+        content_rules={"minCharacter": 0, "tagName": "p"},
+        allowed_content_types=["text/html"],
+        max_content_bytes=1000,
+    )
+    docs = process_queue(spark, queue, pages, cfg)
+    jdf = docs._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = jdf.queryExecution().explainString(mode)
+    assert "MapInPandas" in plan
+
+    # formatted explain numbers nodes bottom-up: a child (closer to the
+    # scan) always has a LOWER id than its parent. Parse the per-node detail
+    # sections and require every gate Filter (condition touches
+    # content_type) to sit below every MapInPandas node.
+    import re
+
+    sections = re.split(r"\n(?=\(\d+\) )", plan)
+    gate_filter_ids, pandas_ids = [], []
+    for s in sections:
+        m = re.match(r"\((\d+)\) (\w+)", s)
+        if not m:
+            continue
+        nid, op = int(m.group(1)), m.group(2)
+        if op == "MapInPandas":
+            pandas_ids.append(nid)
+            # the parse stage must never even SEE the gate columns
+            inp = re.search(r"Input \[[^\]]*\]: \[[^\]]*\]", s)
+            assert inp and "content_type" not in inp.group(0), s
+        if op == "Filter" and "content_type" in s:
+            gate_filter_ids.append(nid)
+    assert pandas_ids and gate_filter_ids, plan
+    # the union also holds gate filters in the SKIPPED_* doc branches (above
+    # any parse); what matters is that each parse branch has its own gate
+    # below it: the k-th MapInPandas (ascending ids) needs > k gate filters
+    # with smaller ids
+    for i, p in enumerate(sorted(pandas_ids)):
+        assert sum(g < p for g in gate_filter_ids) > i, (gate_filter_ids, pandas_ids)

@@ -62,6 +62,13 @@ class CrawlConfig:
     # discovery order (same machinery as globalQps); discovery state (queue /
     # seen) keeps everything found up to the cut, and the crawl stops.
     max_pages: Optional[int] = None
+    # content gate (README.md:60 "allowedContentTypes: [text/html]",
+    # README.md:212 "max content size limits" — both declared-only in the
+    # reference): fetched rows failing either check become
+    # SKIPPED_CONTENT_TYPE / SKIPPED_TOO_LARGE docs and NEVER enter the
+    # Python parse stage (operators/contentgate.py). None = gate off.
+    allowed_content_types: Optional[List[str]] = None
+    max_content_bytes: Optional[int] = None
 
     def __post_init__(self) -> None:
         self._generic_rules: List[Rule] = build_rules(self.content_rules)
@@ -137,6 +144,8 @@ class CrawlConfig:
             global_qps=d.get("globalQps"),
             max_concurrent_per_domain=d.get("maxConcurrentPerDomain"),
             max_pages=d.get("maxPages"),
+            allowed_content_types=d.get("allowedContentTypes"),
+            max_content_bytes=d.get("maxContentBytes"),
         )
 
     @classmethod

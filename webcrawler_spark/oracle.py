@@ -71,12 +71,36 @@ class LinkQueueOracle:
             out.append(u)
 
 
+def gate_status_oracle(
+    html: Optional[str],
+    content_type: Optional[str],
+    config: CrawlConfig,
+) -> Optional[str]:
+    """Sequential twin of operators/contentgate.skip_status_col: the skip
+    status for a fetched page, or None when admitted. Content-type precedence
+    over size (headers arrive before the body); a missing/None content type
+    never skips on the allowlist; size is the utf-8 octet length (the Spark
+    side gates on length(html) over the BINARY column)."""
+    if html is None:
+        return None
+    act = config.allowed_content_types
+    if act and content_type is not None:
+        mt = content_type.split(";", 1)[0].strip().lower()
+        if mt not in {t.strip().lower() for t in act}:
+            return "SKIPPED_CONTENT_TYPE"
+    mcb = config.max_content_bytes
+    if mcb is not None and len(html.encode("utf-8")) > int(mcb):
+        return "SKIPPED_TOO_LARGE"
+    return None
+
+
 def crawl_oracle(
     corpus: Dict[str, str],
     entry_url: str,
     config: CrawlConfig,
     with_processor: bool = True,
     meta: Optional[Dict[str, Tuple[int, int]]] = None,
+    content_types: Optional[Dict[str, str]] = None,
 ) -> OracleResult:
     """CrawlerService.crawl + worker consumption, sequentially.
 
@@ -124,6 +148,8 @@ def crawl_oracle(
         html = corpus.get(url)  # fetch(); missing/None -> skip silently
         if html is None:
             continue
+        if gate_status_oracle(html, (content_types or {}).get(url), config):
+            continue  # gated fetch: never parsed, harvests nothing
 
         try:
             links = extract_page(html, url).links  # document order, abs-resolved
@@ -157,7 +183,11 @@ def crawl_oracle(
 
     if with_processor:
         for url in res.queue_order:
-            res.docs.append(process_url_oracle(corpus, url, config, meta=meta))
+            res.docs.append(
+                process_url_oracle(
+                    corpus, url, config, meta=meta, content_types=content_types
+                )
+            )
         mark_duplicates(res.docs)
     return res
 
@@ -183,6 +213,7 @@ def process_url_oracle(
     url: str,
     config: CrawlConfig,
     meta: Optional[Dict[str, Tuple[int, int]]] = None,
+    content_types: Optional[Dict[str, str]] = None,
 ) -> dict:
     """WebPageProcessor.processUrl (:142-227) against the corpus 'fetch'.
 
@@ -208,6 +239,24 @@ def process_url_oracle(
             "crawl_depth": None,
         }
     http_status, fetch_ms = (meta or {}).get(url, (200, 0))
+    gate = gate_status_oracle(html, (content_types or {}).get(url), config)
+    if gate is not None:
+        # fetched but never parsed: fetch evidence kept, content fields empty
+        # (_gate_docs shape; fetch_ms rides the P8 clamp like every doc row)
+        return {
+            "id": None,
+            "url": url,
+            "domain": domain_of(url),
+            "status": gate,
+            "http_status": http_status,
+            "fetch_duration_ms": max(0, fetch_ms),
+            "title": None,
+            "contents": None,
+            "content_length": 0,
+            "out_links": None,
+            "hash": compute_hash_segments(url, None),
+            "crawl_depth": None,
+        }
     rules = config.get_content_rules(url)
     match_all = config.match_all_by_url(url)
     try:
@@ -294,6 +343,7 @@ def crawl_oracle_polite(
     global_qps: Optional[int] = None,
     max_concurrent: Optional[int] = None,
     max_pages: Optional[int] = None,
+    content_types: Optional[Dict[str, str]] = None,
 ) -> PoliteOracleResult:
     """The reference BFS extended with the *designed* politeness + robots
     semantics (README.md:55-57,145-147 — declared, never implemented there;
@@ -429,6 +479,8 @@ def crawl_oracle_polite(
             html = corpus.get(u)
             if html is None:
                 continue
+            if gate_status_oracle(html, (content_types or {}).get(u), config):
+                continue  # gated fetch: budget consumed, harvests nothing
             try:
                 harvested = extract_page(html, u).links
             except Exception:
@@ -461,7 +513,9 @@ def crawl_oracle_polite(
                 "crawl_depth": None,
             }
         else:
-            doc = process_url_oracle(corpus, url, config, meta=meta)
+            doc = process_url_oracle(
+                corpus, url, config, meta=meta, content_types=content_types
+            )
         res.docs.append(doc)
     mark_duplicates(res.docs)
     return res

@@ -476,6 +476,19 @@ def run_crawl(
         pages_src = pages
         carry_fields = [StructField("rank", LongType())]
         fetch_cols = ["url", "html"]
+    # content gate for the traversal parse: a disallowed-type / oversize
+    # fetch must never enter the kernel, so it harvests no links; the final
+    # docs pass re-encounters the row and emits its SKIPPED_* status
+    from .operators.contentgate import skip_status_col
+
+    gate_skip = skip_status_col(
+        config.allowed_content_types,
+        config.max_content_bytes,
+        content_type_col="content_type" if "content_type" in pages.columns else None,
+    )
+    if gate_skip is not None and "content_type" in pages.columns:
+        fetch_cols = fetch_cols + ["content_type"]
+
     extract_fn, _ = make_extract_pages(
         config, carry_cols=[f.name for f in carry_fields]
     )
@@ -532,6 +545,8 @@ def run_crawl(
         t0 = time.monotonic()
         trav_side = _frontier_side(traverse, frontier_rows)
         fetched = pages_src.select(*fetch_cols).join(trav_side, "url", "inner")
+        if gate_skip is not None:
+            fetched = fetched.filter(gate_skip.isNull()).drop("content_type")
         fetched = _balance_for_parse(spark, fetched, frontier_rows)
         extracted = fetched.mapInPandas(extract_fn, extract_out)
         fetched_est += frontier_rows
@@ -879,6 +894,50 @@ def _robots_docs(skipped_robots: DataFrame, ts) -> DataFrame:
     )
 
 
+def _gate_docs(skipped: DataFrame, ts) -> DataFrame:
+    """SKIPPED_CONTENT_TYPE / SKIPPED_TOO_LARGE rows (operators/contentgate;
+    README.md:60,212 declared-only knobs): fetched but never parsed. Unlike
+    SKIPPED_ROBOTS the fetch DID happen, so http_status, fetch duration and
+    the response's real content type are preserved as evidence of why the
+    gate fired; every content field stays empty."""
+    http = (
+        F.col("http_status").cast("int")
+        if "http_status" in skipped.columns
+        else F.lit(200)
+    )
+    fms = (
+        F.greatest(F.lit(0).cast("long"), F.col("fetch_ms").cast("long"))
+        if "fetch_ms" in skipped.columns
+        else F.lit(0).cast("long")
+    )
+    ctype = (
+        F.col("content_type")
+        if "content_type" in skipped.columns
+        else F.lit("text/html")
+    )
+    return skipped.select(
+        F.lit(None).cast("string").alias("id"),
+        F.col("url"),
+        parse_host(F.col("url")).alias("domain"),
+        ts.alias("crawl_ts"),
+        F.col("skip_status").alias("status"),
+        http.alias("http_status"),
+        fms.alias("fetch_duration_ms"),
+        F.lit(None).cast("int").alias("crawl_depth"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("array<string>").alias("contents"),
+        F.lit(0).cast("long").alias("content_length"),
+        ctype.cast("string").alias("content_type"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("array<string>").alias("out_links"),
+        content_hash_segments(
+            F.col("url"), F.lit(None).cast("array<string>")
+        ).alias("hash"),
+        F.col("pos"),
+    )
+
+
 def _fused_docs(
     spark: SparkSession,
     q: DataFrame,
@@ -916,6 +975,16 @@ def _fused_docs(
         src = src.withColumn("lang", F.lit(None).cast("string"))
     if "warc_ts" not in src.columns:
         src = src.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+
+    # content gate (README.md:60,212): disallowed-type / oversize fetches
+    # exit to SKIPPED_* rows HERE — below the scan, above the Python parse
+    # stage — so the kernel only ever decodes admitted bytes. Default-off
+    # (both knobs None) adds nothing to the plan.
+    from .operators.contentgate import split_gated
+
+    src, gate_skipped = split_gated(
+        src, config.allowed_content_types, config.max_content_bytes
+    )
 
     extract_fn, _ = make_extract_pages(
         config,
@@ -968,7 +1037,7 @@ def _fused_docs(
     is_parse_err = F.col("fetchok") & F.col("parse_error")
     is_ok = F.col("fetchok") & ~F.col("parse_error")
     null_segs = F.lit(None).cast("array<string>")
-    return ex.select(
+    out = ex.select(
         F.when(is_ok, doc_id_col(F.col("url"))).alias("id"),
         F.col("url"),
         parse_host(F.col("url")).alias("domain"),
@@ -1007,6 +1076,9 @@ def _fused_docs(
         .alias("hash"),
         F.col("pos"),
     )
+    if gate_skipped is not None:
+        out = out.unionByName(_gate_docs(gate_skipped, ts))
+    return out
 
 
 def process_queue(
@@ -1121,6 +1193,14 @@ def process_queue(
         fetched = fetched.withColumn("lang", F.lit(None).cast("string"))
     if "warc_ts" not in fetched.columns:
         fetched = fetched.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+
+    # content gate (README.md:60,212): skip disallowed-type / oversize rows
+    # before the Python parse stage; default-off adds nothing to the plan
+    from .operators.contentgate import split_gated
+
+    fetched, gate_skipped = split_gated(
+        fetched, config.allowed_content_types, config.max_content_bytes
+    )
 
     extract_fn, _ = make_extract_pages(
         config, carry_cols=["pos", "lang", "warc_ts", "http_status", "fetch_ms"]
@@ -1293,6 +1373,8 @@ def process_queue(
         .unionByName(parse_err_docs.select(*cols))
         .unionByName(err_docs.select(*cols))
     )
+    if gate_skipped is not None:
+        out = out.unionByName(_gate_docs(gate_skipped, ts).select(*cols))
     if skipped_robots is not None:
         out = out.unionByName(_robots_docs(skipped_robots, ts).select(*cols))
     return out
@@ -1400,6 +1482,20 @@ def run_polite_crawl(
         [StructField("grank", LongType()), StructField("depth", IntegerType())]
     )
 
+    # content gate for the round parse (mirrors run_crawl): gated fetches
+    # consume their admission slot but harvest nothing; process_queue below
+    # emits their SKIPPED_* docs rows
+    from .operators.contentgate import skip_status_col
+
+    gate_skip = skip_status_col(
+        config.allowed_content_types,
+        config.max_content_bytes,
+        content_type_col="content_type" if "content_type" in pages.columns else None,
+    )
+    fetch_cols = ["url", "html"]
+    if gate_skip is not None and "content_type" in pages.columns:
+        fetch_cols.append("content_type")
+
     lineage: List[dict] = []
     frontier_rows = n_seeds
 
@@ -1459,7 +1555,9 @@ def run_polite_crawl(
         deferred = deferred.drop("host")
 
         allowed_side = _frontier_side(allowed, frontier_rows)
-        fetched = pages.select("url", "html").join(allowed_side, "url", "inner")
+        fetched = pages.select(*fetch_cols).join(allowed_side, "url", "inner")
+        if gate_skip is not None:
+            fetched = fetched.filter(gate_skip.isNull()).drop("content_type")
         fetched = _balance_for_parse(spark, fetched, frontier_rows)
         extracted = fetched.mapInPandas(extract_fn, extract_out)
 
