@@ -44,6 +44,100 @@ def test_recrawl_diff_empty_prev_is_all_new(spark):
     assert [(r["url"], r["status"]) for r in rows] == [("u1", "NEW")]
 
 
+_COND_PREV = "url string, hash string, etag string, last_modified string"
+_COND_CUR = (
+    "url string, http_status int, hash string, etag string, last_modified string"
+)
+
+
+def test_recrawl_conditional_statuses_and_validators(spark):
+    from webcrawler_spark.operators.recrawl import recrawl_conditional
+
+    lm = "Mon, 01 Jan 2024 00:00:00 GMT"
+    prev = spark.createDataFrame(
+        [
+            ("u-et", "h1", '"e1"', None),  # 304 via ETag
+            ("u-lm", "h2", None, lm),  # 304 via Last-Modified
+            ("u-both", "h3", '"e3"', lm),  # 304: If-None-Match wins
+            ("u-same", "h4", None, None),  # full 200, hash unchanged
+            ("u-chg", "h5", '"e5"', None),  # full 200, hash changed
+            ("u-gone", "h6", None, None),
+        ],
+        _COND_PREV,
+    )
+    cur = spark.createDataFrame(
+        [
+            ("u-et", 304, None, None, None),
+            ("u-lm", 304, None, None, None),
+            ("u-both", 304, None, None, None),
+            ("u-same", 200, "h4", None, None),
+            ("u-chg", 200, "h5x", '"e5-v2"', None),
+            ("u-new", 200, "h7", None, "Tue, 02 Jan 2024 00:00:00 GMT"),
+        ],
+        _COND_CUR,
+    )
+    got = {
+        r["url"]: (r["status"], r["validator"])
+        for r in recrawl_conditional(prev, cur).collect()
+    }
+    assert got == {
+        "u-et": ("NOT_MODIFIED_304", "etag"),
+        "u-lm": ("NOT_MODIFIED_304", "last-modified"),
+        "u-both": ("NOT_MODIFIED_304", "etag"),  # RFC 9110 §13.1.2
+        "u-same": ("NOT_MODIFIED", None),
+        "u-chg": ("MODIFIED", None),
+        "u-gone": ("GONE", None),
+        "u-new": ("NEW", None),
+    }
+
+
+def test_recrawl_conditional_carries_validators_forward(spark):
+    from webcrawler_spark.operators.recrawl import recrawl_conditional
+
+    lm = "Mon, 01 Jan 2024 00:00:00 GMT"
+    prev = spark.createDataFrame(
+        [("u-304", "h1", '"e1"', lm), ("u-200", "h2", '"e2"', lm)], _COND_PREV
+    )
+    cur = spark.createDataFrame(
+        [
+            # 304 with no repeated headers: stored validators are re-validated
+            ("u-304", 304, None, None, None),
+            # 200 replaces them with the response's own (lm dropped here)
+            ("u-200", 200, "h2x", '"e2-v2"', None),
+        ],
+        _COND_CUR,
+    )
+    got = {
+        r["url"]: (r["etag"], r["last_modified"])
+        for r in recrawl_conditional(prev, cur).collect()
+    }
+    assert got["u-304"] == ('"e1"', lm)
+    assert got["u-200"] == ('"e2-v2"', None)
+
+
+def test_conditional_fetch_plan_headers(spark):
+    from webcrawler_spark.operators.recrawl import conditional_fetch_plan
+
+    lm = "Mon, 01 Jan 2024 00:00:00 GMT"
+    prev = spark.createDataFrame(
+        [
+            ("u1", "h", '"e1"', lm),
+            ("u2", "h", None, lm),
+            ("u3", "h", None, None),
+        ],
+        _COND_PREV,
+    )
+    got = {
+        r["url"]: (r["if_none_match"], r["if_modified_since"], r["conditional"])
+        for r in conditional_fetch_plan(prev).collect()
+    }
+    assert got == {
+        "u1": ('"e1"', lm, True),
+        "u2": (None, lm, True),
+        "u3": (None, None, False),
+    }
+
+
 def test_sitemap_entries_limit_order_and_trim(spark):
     from webcrawler_spark.operators.sitemap import sitemap_entries
 
