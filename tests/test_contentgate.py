@@ -73,6 +73,7 @@ def _gated_corpus_bits():
     return entry._gate_corpus()
 
 
+@pytest.mark.slow
 def test_gated_crawl_matches_sequential_oracle_fused(spark):
     """The FUSED docs path (no content rules) with the gate on: statuses and
     queue order must match the sequential oracle with the same gate."""
@@ -112,6 +113,7 @@ def test_gated_crawl_matches_sequential_oracle_fused(spark):
     assert n_gate > 0  # the plant actually fired
 
 
+@pytest.mark.slow
 def test_gated_polite_crawl_matches_oracle(spark):
     """run_polite_crawl with the gate: gated fetches consume their admission
     slot but harvest nothing; docs surface SKIPPED_* rows."""

@@ -86,6 +86,7 @@ def test_curate_quality_off_and_defaults(spark, curate_input, tmp_path):
     assert s["n_shards"] == 1   # everything fits one shard at 100k chars
 
 
+@pytest.mark.slow
 def test_curate_canonical_longest_flips_keeper(spark, tmp_path):
     from jobs.curate import run
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from webcrawler_spark.config import CrawlConfig
 
 
+@pytest.mark.slow
 def test_crawl_docs_flow_through_curation(spark, pages_df, small_corpus, tmp_path):
     from jobs.curate import run
     from webcrawler_spark.pipeline.textprep import hash64

@@ -1160,6 +1160,7 @@ def test_select_canonical_argmax_and_tiebreak(spark):
     assert sum(1 for r in out.values() if r["keep"]) == 2
 
 
+@pytest.mark.slow
 def test_kmeans_fit_separates_planted_clusters(spark):
     from webcrawler_spark.pipeline.similarity import kmeans_fit
 
@@ -1191,6 +1192,7 @@ def test_kmeans_fit_separates_planted_clusters(spark):
     assert assigned.exceptAll(a3).count() == 0
 
 
+@pytest.mark.slow
 def test_pq_encode_and_adc_recall(spark):
     from webcrawler_spark.pipeline.similarity import (
         cosine_topk,

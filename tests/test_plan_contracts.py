@@ -178,30 +178,65 @@ def test_content_gate_filter_sits_below_the_parse_stage(spark):
     plan = jdf.queryExecution().explainString(mode)
     assert "MapInPandas" in plan
 
-    # formatted explain numbers nodes bottom-up: a child (closer to the
-    # scan) always has a LOWER id than its parent. Parse the per-node detail
-    # sections and require every gate Filter (condition touches
-    # content_type) to sit below every MapInPandas node.
+    # Walk the real tree. The formatted header is an indented diagram with
+    # one "(id)" per node; the detail sections below carry per-node Input
+    # columns and "Reuses operator id: N" links for ReusedExchange. Two
+    # invariants, robust to Catalyst's exchange-reuse dedup of identical
+    # parse branches (reuse collapses a branch's subtree into a pointer, so
+    # counting one filter per branch is NOT plan-stable):
+    #   1. every MapInPandas has a gate Filter (condition touches
+    #      content_type) among its descendants, following reuse links;
+    #   2. no gate Filter is an ancestor of a MapInPandas (the gate never
+    #      runs on parse OUTPUT — skipped bytes must not cross into Python).
     import re
 
-    sections = re.split(r"\n(?=\(\d+\) )", plan)
-    gate_filter_ids, pandas_ids = [], []
+    header, *rest = plan.split("\n\n")
+    detail = "\n\n".join(rest)
+    sections = re.split(r"\n(?=\(\d+\) )", detail)
+    ops, gate_filters, reuses = {}, set(), {}
     for s in sections:
         m = re.match(r"\((\d+)\) (\w+)", s)
         if not m:
             continue
         nid, op = int(m.group(1)), m.group(2)
+        ops[nid] = op
         if op == "MapInPandas":
-            pandas_ids.append(nid)
             # the parse stage must never even SEE the gate columns
             inp = re.search(r"Input \[[^\]]*\]: \[[^\]]*\]", s)
             assert inp and "content_type" not in inp.group(0), s
         if op == "Filter" and "content_type" in s:
-            gate_filter_ids.append(nid)
-    assert pandas_ids and gate_filter_ids, plan
-    # the union also holds gate filters in the SKIPPED_* doc branches (above
-    # any parse); what matters is that each parse branch has its own gate
-    # below it: the k-th MapInPandas (ascending ids) needs > k gate filters
-    # with smaller ids
-    for i, p in enumerate(sorted(pandas_ids)):
-        assert sum(g < p for g in gate_filter_ids) > i, (gate_filter_ids, pandas_ids)
+            gate_filters.add(nid)
+        r = re.search(r"Reuses operator id: (\d+)", s)
+        if r:
+            reuses[nid] = int(r.group(1))
+
+    # parent/child from the header diagram's indentation: a node's parent is
+    # the nearest shallower-indented node above it
+    children: dict = {}
+    stack = []  # (indent, id)
+    for line in header.splitlines():
+        m = re.search(r"\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        nid = int(m.group(1))
+        indent = len(line) - len(line.lstrip(" *+-:"))
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        if stack:
+            children.setdefault(stack[-1][1], []).append(nid)
+        stack.append((indent, nid))
+
+    def descendants(nid, seen=None):
+        seen = set() if seen is None else seen
+        for c in children.get(nid, []) + ([reuses[nid]] if nid in reuses else []):
+            if c not in seen:
+                seen.add(c)
+                descendants(c, seen)
+        return seen
+
+    pandas_ids = [n for n, op in ops.items() if op == "MapInPandas"]
+    assert pandas_ids and gate_filters, plan
+    for p in pandas_ids:
+        assert gate_filters & descendants(p), (p, plan)
+    for g in gate_filters:
+        assert not any(ops.get(d) == "MapInPandas" for d in descendants(g)), (g, plan)

@@ -24,7 +24,9 @@ def _run_both(spark, pages_df, small_corpus, cfg, entry=None, with_processor=Tru
     return oracle, result
 
 
-@pytest.mark.parametrize("max_depth", [0, 1, 2])
+@pytest.mark.parametrize(
+    "max_depth", [0, 1, pytest.param(2, marks=pytest.mark.slow)]
+)
 def test_queue_order_matches_oracle(spark, pages_df, small_corpus, max_depth):
     cfg = CrawlConfig(max_depth=max_depth)
     oracle, result = _run_both(spark, pages_df, small_corpus, cfg, with_processor=False)
@@ -32,6 +34,7 @@ def test_queue_order_matches_oracle(spark, pages_df, small_corpus, max_depth):
     assert got == oracle.queue_order
 
 
+@pytest.mark.slow
 def test_distributed_seed_path_matches_oracle(spark, pages_df, small_corpus, monkeypatch):
     """Seed DataFrames above SEED_COLLECT_MAX take the fully distributed
     dedup/rank branch (no driver collect). Force it by dropping the gate to 0
@@ -67,6 +70,7 @@ def test_entry_enqueue_guard(spark, pages_df, small_corpus):
     assert got == oracle.queue_order
 
 
+@pytest.mark.slow
 def test_include_exclude_filters_match(spark, pages_df, small_corpus):
     cfg = CrawlConfig(
         max_depth=2,
@@ -78,6 +82,7 @@ def test_include_exclude_filters_match(spark, pages_df, small_corpus):
     assert got == oracle.queue_order
 
 
+@pytest.mark.slow
 def test_bloom_path_identical_results(spark, pages_df, small_corpus):
     cfg = CrawlConfig(max_depth=2)
     oracle, result = _run_both(
@@ -125,6 +130,7 @@ def test_docs_match_oracle(spark, pages_df, small_corpus):
             assert list(g["out_links"] or []) == d["out_links"], d["url"]
 
 
+@pytest.mark.slow
 def test_fused_docs_rules_less_matches_oracle(spark, pages_df, small_corpus):
     """Rules-less crawls take the fused single-pass docs plan (_fused_docs:
     one left join, fetch-missing rows riding the kernel as null-html rows,
@@ -242,7 +248,9 @@ def test_lineage_emitted(spark, pages_df, small_corpus):
 # seed-list extension (README.md seed-list design; rounds.run_crawl docstring)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("max_depth", [0, 2])
+@pytest.mark.parametrize(
+    "max_depth", [0, pytest.param(2, marks=pytest.mark.slow)]
+)
 def test_multi_seed_queue_order_matches_oracle(spark, pages_df, small_corpus, max_depth):
     cfg = CrawlConfig(max_depth=max_depth)
     seeds = small_corpus.seeds  # three host roots
@@ -317,6 +325,7 @@ def _run_both_polite(spark, pages_df, corpus, cfg, entry=None, robots=False, **k
     return oracle, result
 
 
+@pytest.mark.slow
 def test_polite_queue_order_matches_oracle(spark, tiny_pages_df, tiny_corpus):
     cfg = CrawlConfig(max_depth=2, per_host_budget=2)
     oracle, result = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
@@ -326,6 +335,7 @@ def test_polite_queue_order_matches_oracle(spark, tiny_pages_df, tiny_corpus):
     assert {r["url"] for r in result.seen.collect()} == oracle.seen
 
 
+@pytest.mark.slow
 def test_polite_unbounded_equals_reference_order(spark, tiny_pages_df, tiny_corpus):
     """budget=None admits everything -> the politeness scheduler degenerates
     to the exact reference BFS order."""
@@ -339,6 +349,7 @@ def test_polite_unbounded_equals_reference_order(spark, tiny_pages_df, tiny_corp
     assert got == base.queue_order
 
 
+@pytest.mark.slow
 def test_polite_robots_statuses_match_oracle(spark, tiny_pages_df, tiny_corpus):
     cfg = CrawlConfig(max_depth=1, per_host_budget=2)
     oracle, result = _run_both_polite(
@@ -354,6 +365,7 @@ def test_polite_robots_statuses_match_oracle(spark, tiny_pages_df, tiny_corpus):
     assert any(s == "SKIPPED_ROBOTS" for _, s in got_status)
 
 
+@pytest.mark.slow
 def test_polite_mixed_depth_traversal_matches_oracle(spark):
     """ADVICE r1 (medium): in a mixed-depth admitted round, a URL whose
     grank-earliest harvester sits at max_depth must still be traversed when a
@@ -431,6 +443,7 @@ def test_robots_query_string_prefix(spark):
     assert not _robots_blocked("https://h.example.com/search", rob)
 
 
+@pytest.mark.slow
 def test_timed_politeness_matches_oracle(spark, tiny_pages_df, tiny_corpus):
     """Inter-round politeness clocks (README.md:55-57): crawl_delay_ms per
     host, next_allowed_ts carried between rounds. One host's delay (25 s)
@@ -507,6 +520,7 @@ def _stop_after(n_rounds):
     return stop
 
 
+@pytest.mark.slow
 def test_stop_then_resume_matches_straight_run(spark, pages_df, small_corpus, tmp_path):
     """O2 cancellation (CrawlerService.java:134-151): stopping between rounds
     commits a resumable boundary; resume completes to the exact same queue
@@ -545,6 +559,7 @@ def test_stop_then_resume_matches_straight_run(spark, pages_df, small_corpus, tm
     assert store.load_manifest().meta.get("stopped_next_depth") is None
 
 
+@pytest.mark.slow
 def test_bloom_round_caches_released(spark, pages_df, small_corpus, monkeypatch):
     """The per-round bloom prefilter persist must be released once the round
     table is pinned (VERDICT r2 wrong #3: a deep crawl otherwise accumulates
@@ -574,6 +589,7 @@ def test_bloom_round_caches_released(spark, pages_df, small_corpus, monkeypatch)
         assert not (lvl.useMemory or lvl.useDisk), "prefilter cache leaked"
 
 
+@pytest.mark.slow
 def test_bloom_sidecar_persisted_and_loaded_on_resume(
     spark, pages_df, small_corpus, tmp_path, monkeypatch
 ):
@@ -615,6 +631,7 @@ def test_bloom_sidecar_persisted_and_loaded_on_resume(
     assert len(calls) == res.rounds_run
 
 
+@pytest.mark.slow
 def test_max_concurrent_per_domain_matches_oracle(spark, tiny_pages_df, tiny_corpus):
     """maxConcurrentPerDomain (README.md:55-57) as the ONLY per-host cap
     (budget=None): at most 2 URLs per host per round, oracle-exact order."""
@@ -626,6 +643,7 @@ def test_max_concurrent_per_domain_matches_oracle(spark, tiny_pages_df, tiny_cor
     assert oracle.rounds > 1  # the cap really deferred something
 
 
+@pytest.mark.slow
 def test_global_qps_matches_oracle(spark, tiny_pages_df, tiny_corpus):
     """globalQps (README.md:55-57): the round's TOTAL admissions capped at
     floor(qps·W/1000) in global discovery order; per-host budgets still hold
@@ -667,6 +685,7 @@ def crawl_oracle_rounds_total(corpus, cfg) -> int:
     return sum(o.admitted_per_round)
 
 
+@pytest.mark.slow
 def test_max_pages_composes_with_global_qps(spark, tiny_pages_df, tiny_corpus):
     """maxPages rides the same global prefix cut as globalQps: the effective
     per-round cap is min(G, remaining budget)."""
@@ -692,6 +711,7 @@ def test_max_pages_zero_keeps_seeds_discovered(spark, tiny_pages_df, tiny_corpus
     assert got == oracle.queue_order == list(tiny_corpus.seeds)
 
 
+@pytest.mark.slow
 def test_timed_with_global_and_concurrency_caps(spark, tiny_pages_df, tiny_corpus):
     """All three politeness mechanisms composed: crawl-delay clocks + the
     global QPS budget + maxConcurrentPerDomain — the timed clock must advance

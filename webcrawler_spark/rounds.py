@@ -53,7 +53,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -297,6 +297,83 @@ def _offset_map_expr(
     if not kv:
         return F.lit(start), acc
     return F.element_at(F.create_map(*kv), F.col(bucket_col)), acc
+
+
+def _round_metric_exprs(nb: int) -> List[Column]:
+    """Per-bucket / per-lineage-partition round stats as CollectMetrics
+    aggregates (``df.observe``), evaluated DURING the round-table write job
+    instead of a second groupingSets job over the pinned parquet — one fewer
+    Spark job per round (per-round fixed cost, the 4→16-core scaling
+    residual; BASELINE.md "per-round fixed cost").
+
+    Emits, per bucket i in [0, nb): ``nn{i}`` = new urls, ``nt{i}`` = newly
+    traversable urls (the inputs to the driver prefix-sum offset maps); per
+    lineage partition p in [0, 32): ``pn{p}`` = new urls (lineage
+    urls_fetched); plus the global duplicate count ``dup``. Distinct
+    aggregates are not legal under CollectMetrics, so hosts_served is NOT
+    here — it backfills in ONE end-of-crawl job (_fill_lineage_hosts).
+
+    Cost model: ~2·nb+33 conditional int sums per row, pure codegen inside
+    an already shuffle-bound job — microseconds per thousand rows, versus a
+    whole extra job launch + scan per round."""
+    exprs: List[Column] = [F.sum("_dup").alias("dup")]
+    for i in range(nb):
+        hit = F.col("_bkt") == i
+        exprs.append(
+            F.sum(F.when(hit, 1 - F.col("_dup")).otherwise(0)).alias(f"nn{i}")
+        )
+        exprs.append(
+            F.sum(F.when(hit, 1 - F.col("_vis")).otherwise(0)).alias(f"nt{i}")
+        )
+    for p in range(N_LINEAGE_PARTS):
+        exprs.append(
+            F.sum(
+                F.when(F.col("_part") == p, 1 - F.col("_dup")).otherwise(0)
+            ).alias(f"pn{p}")
+        )
+    return exprs
+
+
+def _decode_round_metrics(
+    vals: Dict[str, object], nb: int
+) -> Tuple[Dict[int, int], Dict[int, int], Dict[int, int], int]:
+    """Observation dict -> ({bkt: n_new}, {bkt: n_trav}, {part: n_new},
+    n_dup). Sums over zero rows come back NULL -> 0."""
+    nn = {i: int(vals[f"nn{i}"] or 0) for i in range(nb)}
+    nt = {i: int(vals[f"nt{i}"] or 0) for i in range(nb)}
+    pn = {p: int(vals[f"pn{p}"] or 0) for p in range(N_LINEAGE_PARTS)}
+    return nn, nt, pn, int(vals["dup"] or 0)
+
+
+def _fill_lineage_hosts(lineage: List[dict], seen: DataFrame) -> None:
+    """Backfill ``hosts_served`` for this crawl's lineage rows in ONE
+    count_distinct job over the (column-pruned) url_seen table, instead of a
+    distinct aggregate inside every round's stats pass. new_seen rows carry
+    (host_hash, first_depth), and lineage partition_id = host_hash % 32 by
+    construction, so distinct hosts per (round, partition) is exactly
+    distinct host_hash per (first_depth, host_hash % 32). Rows loaded from a
+    resume checkpoint already carry values and are left untouched (only
+    ``None`` placeholders fill)."""
+    need_rounds = sorted(
+        {l["round"] for l in lineage if l.get("hosts_served") is None}
+    )
+    if not need_rounds:
+        return
+    rows = (
+        seen.filter(F.col("first_depth").isin(need_rounds))
+        .groupBy(
+            F.col("first_depth").alias("_r"),
+            F.pmod(F.col("host_hash"), F.lit(N_LINEAGE_PARTS))
+            .cast("int")
+            .alias("_p"),
+        )
+        .agg(F.count_distinct("host_hash").alias("h"))
+        .collect()
+    )
+    m = {(r["_r"], r["_p"]): r["h"] for r in rows}
+    for l in lineage:
+        if l.get("hosts_served") is None:
+            l["hosts_served"] = m.get((l["round"], l["partition_id"]), 0)
 
 
 class _AsyncDF:
@@ -632,6 +709,10 @@ def run_crawl(
             _running("_dup", w).alias("_lpos"),
             _running("_vis", w).alias("_lrank"),
         )
+        # round stats ride the write job itself (CollectMetrics): the old
+        # separate groupingSets job over the pinned parquet is gone
+        obs = Observation(f"r{depth}_metrics")
+        round_local = round_local.observe(obs, *_round_metric_exprs(nb))
         if store is not None:
             store.write_table(round_local, "round", depth)
             round_local = store.read_table(spark, "round", depth)
@@ -647,38 +728,21 @@ def run_crawl(
         )
         _ts = time.monotonic()
 
-        # ---- job 2 (tiny): all round stats in one collect over the pinned
-        # slim table (a few int columns, parquet-pruned — no url strings)
-        stats = (
-            round_local.groupingSets([["_bkt"], ["_part"]], "_bkt", "_part")
-            .agg(
-                F.sum(1 - F.col("_dup")).alias("n_new"),
-                F.sum("_dup").alias("n_dup"),
-                F.sum(1 - F.col("_vis")).alias("n_trav"),
-                F.count_distinct(
-                    F.when(F.col("_dup") == 0, F.col("host_hash"))
-                ).alias("hosts"),
-                F.grouping_id().alias("_gid"),
-            )
-            .collect()
-        )
-        bkt_rows = [r for r in stats if r["_gid"] == 1]
-        part_rows = [r for r in stats if r["_gid"] == 2 and r["n_new"]]
-        n_new = sum(r["n_new"] for r in bkt_rows)
-        n_dup = sum(r["n_dup"] for r in bkt_rows)
-        n_trav = sum(r["n_trav"] for r in bkt_rows)
+        # the pinning action above already evaluated the metrics — this is a
+        # driver-side dict read, not a job (r{d}_stats stays as a phase so
+        # round-over-round timing series remain comparable)
+        nn_bkt, nt_bkt, pn_part, n_dup = _decode_round_metrics(obs.get, nb)
+        n_new = sum(nn_bkt.values())
+        n_trav = sum(nt_bkt.values())
+        part_rows = [(p, n) for p, n in sorted(pn_part.items()) if n]
         res.timings.append(
             {"phase": f"r{depth}_stats", "ms": int((time.monotonic() - _ts) * 1000)}
         )
 
         # global pos/rank = local running sum + driver prefix-sum offset,
         # a pure projection over the pinned table (no further job)
-        pos_off, _ = _offset_map_expr(
-            "_bkt", {r["_bkt"]: r["n_new"] for r in bkt_rows}, queue_size
-        )
-        trav_off, _ = _offset_map_expr(
-            "_bkt", {r["_bkt"]: r["n_trav"] for r in bkt_rows}, 0
-        )
+        pos_off, _ = _offset_map_expr("_bkt", nn_bkt, queue_size)
+        trav_off, _ = _offset_map_expr("_bkt", nt_bkt, 0)
         round_tbl = (
             round_local.filter((F.col("_dup") == 0) | (F.col("_vis") == 0))
             .withColumn(
@@ -729,13 +793,15 @@ def run_crawl(
                     "wall_ms": wall_ms,
                 }
             )
-        for r in part_rows:
+        for p, n in part_rows:
             lineage.append(
                 {
                     "round": depth,
-                    "partition_id": r["_part"],
-                    "hosts_served": r["hosts"],
-                    "urls_fetched": r["n_new"],
+                    "partition_id": p,
+                    # distinct-host counts can't ride CollectMetrics; one
+                    # end-of-crawl job backfills them (_fill_lineage_hosts)
+                    "hosts_served": None,
+                    "urls_fetched": n,
                     "urls_deduped": n_dup,
                     "frontier_delta": n_new,
                     "wall_ms": wall_ms,
@@ -754,6 +820,7 @@ def run_crawl(
         if store is not None:
             store.write_table(seen, "url_seen", stopped_at)
             seen = store.read_table(spark, "url_seen", stopped_at)
+            _fill_lineage_hosts(lineage, seen)
             store.write_table(traverse, "frontier", stopped_at)
             store.write_table(visited.select("url"), "visited", stopped_at)
             store.write_table(
@@ -774,6 +841,8 @@ def run_crawl(
             m.meta["fetched_est"] = fetched_est
             m.meta["has_content_rules"] = bool(config.has_content_rules) or resumed_had_rules
             store.commit(m)
+        else:
+            _fill_lineage_hosts(lineage, seen)
         res.queue = seen.select("url", "pos").orderBy("pos")
         res.seen = seen
         res.visited = visited
@@ -798,6 +867,9 @@ def run_crawl(
         m.meta["queue_size"] = queue_size
         store.commit(m)
 
+    # ONE deferred hosts_served job per crawl (store path reads the pinned
+    # url_seen parquet, column-pruned to host_hash + first_depth)
+    _fill_lineage_hosts(lineage, seen)
     res.queue = seen.select("url", "pos").orderBy("pos")
     res.seen = seen
     res.visited = visited
