@@ -2148,6 +2148,125 @@ from a join w using (source)
 """
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (sampling.temperature_rates):
+    per-source sampling shares ∝ n_docs^(1/2) — the mT5/XLM-R flattening
+    that keeps low-resource sources from being drowned by the head. α is
+    pinned to 1/2 so every number is integer-exact cross-engine
+    (isqrt + integral division); one |sources|-row aggregate, the corpus is
+    never shuffled."""
+    from webcrawler_spark.pipeline.sampling import temperature_rates
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_rates(d, domain="source", budget=10_000).select(
+        "source", "n_docs", "score", "share_ppm", "take_n"
+    )
+
+
+_MIXTURE_TEMPERATURE_SQL = """
+with c as (select source, count(*) as n_docs from documents group by source),
+s as (select source, n_docs, floor(sqrt(n_docs))::bigint as score from c)
+select source, n_docs, score,
+       ((score * 1000000) // (sum(score) over ()))::bigint as share_ppm,
+       ((10000 * score) // (sum(score) over ()))::bigint as take_n
+from s
+"""
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing (sampling.pack_sequences): the
+    corpus as one concatenated token stream in a deterministic (hash-bucket,
+    doc_id) order, cut every 512 tokens; each doc maps to the context
+    windows its tokens occupy (first_seq..last_seq, offset in first). The
+    naive formulation is ONE un-partitioned window (single-task total sort);
+    this is the same function as a two-level prefix sum — per-bucket windows
+    + a 256-row driver-scale offset window — pinned exact by the oracle's
+    naive global window over the identical order."""
+    from webcrawler_spark.pipeline.sampling import pack_sequences
+
+    from webcrawler_spark.pipeline.textprep import tokens_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return pack_sequences(d, key="doc_id", n_tokens="n_toks", seq_len=512).select(
+        "doc_id", "n_toks", "tok_start", "first_seq", "last_seq", "n_seqs",
+        "seq_offset",
+    )
+
+
+_SEQ_PACK_SQL = f"""
+with d as (
+  select doc_id, len({_TOKS_SQL})::bigint as n_toks,
+         {_HASH64_SQL.format(x="doc_id::varchar")} % 256 as bkt
+  from documents
+), cum as (
+  select doc_id, n_toks,
+         coalesce(sum(n_toks) over (order by bkt, doc_id
+             rows between unbounded preceding and 1 preceding), 0)::bigint
+             as tok_start
+  from d where n_toks > 0
+)
+select doc_id, n_toks, tok_start,
+       (tok_start // 512)::bigint as first_seq,
+       ((tok_start + n_toks - 1) // 512)::bigint as last_seq,
+       ((tok_start + n_toks - 1) // 512 - tok_start // 512 + 1)::bigint as n_seqs,
+       (tok_start % 512)::bigint as seq_offset
+from cum
+"""
+
+
+def q_lang_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language LM-quality tiers: each doc's unigram-LM
+    score (textstats.unigram_logprob) bucketed head/middle/tail WITHIN its
+    predicted language (sampling.quantile_buckets_by) — a global binning
+    would let the dominant language set every other language's thresholds.
+    No global sort anywhere: the tier thresholds come from the (lang × bin)
+    histogram (driver-scale windows), broadcast back; ntile() over
+    (partition by lang) would ship every row of a language through one
+    task."""
+    from webcrawler_spark.pipeline.sampling import quantile_buckets_by
+    from webcrawler_spark.pipeline.textstats import unigram_logprob, with_lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    lp = unigram_logprob(d)
+    lid = with_lang_id(d).select("doc_id", "pred_lang")
+    scored = lp.join(lid, "doc_id").select(
+        "doc_id",
+        "pred_lang",
+        F.round(F.col("avg_logp") * 1e4, 0).cast("long").alias("bin"),
+    )
+    out = quantile_buckets_by(scored, "pred_lang", F.col("bin"), n_buckets=3)
+    return out.select("doc_id", "pred_lang", "bin", "bucket")
+
+
+def _lang_ppl_buckets_sql() -> str:
+    langid = _langid_sql().strip().rstrip(";")
+    return f"""
+with lp as (
+  with toks as (select doc_id, unnest({_TOKS_SQL}) as tok from documents),
+  counts as (select tok, count(*) as c from toks group by tok),
+  tot as (select count(*)::double as n from toks)
+  select doc_id, round(avg(ln(c / (select n from tot))), 4) as avg_logp
+  from toks join counts using (tok) group by doc_id
+), lid as ({langid}),
+j as (
+  select lp.doc_id, lid.pred_lang, round(lp.avg_logp * 10000)::bigint as bin
+  from lp join lid using (doc_id)
+), hist as (
+  select pred_lang, bin, count(*) as c from j group by 1, 2
+), m as (
+  select pred_lang, bin,
+         least(2, (coalesce(sum(c) over (partition by pred_lang order by bin
+                     rows between unbounded preceding and 1 preceding), 0) * 3)
+                  // (sum(c) over (partition by pred_lang)))::bigint as bucket
+  from hist
+)
+select j.doc_id, j.pred_lang, j.bin, m.bucket
+from j join m using (pred_lang, bin)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline/decontam.contaminated_docs): docs
     sharing any word 8-gram with a deterministic pseudo-eval slice
@@ -4659,6 +4778,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": q_shard_pack,
         "domain_mixture": q_domain_mixture,
         "mixture_plan": q_mixture_plan,
+        "mixture_temperature": q_mixture_temperature,
+        "seq_pack": q_seq_pack,
+        "lang_ppl_buckets": q_lang_ppl_buckets,
         "decontaminate": q_decontaminate,
         "stream_events_windowed": q_stream_events_windowed,
         "set_intersect": q_set_intersect,
@@ -4784,6 +4906,9 @@ def oracle_sql() -> dict[str, str]:
         "shard_pack": _SHARD_PACK_SQL,
         "domain_mixture": _mixture_sql(),
         "mixture_plan": _mixture_plan_sql(),
+        "mixture_temperature": _MIXTURE_TEMPERATURE_SQL,
+        "seq_pack": _SEQ_PACK_SQL,
+        "lang_ppl_buckets": _lang_ppl_buckets_sql(),
         "decontaminate": _DECONTAM_SQL,
         "stream_events_windowed": _STREAM_EVENTS_SQL,
         "set_intersect": _SET_INTERSECT_SQL,

@@ -965,6 +965,88 @@ def test_quantile_buckets_matches_sequential_ntile(docs):
     assert min(got.values()) == 0 and max(got.values()) == 9
 
 
+def test_pack_sequences_matches_sequential_stream(docs):
+    """GPT-style concat-and-chunk packing: every doc's window span must equal
+    the sequential token-stream walk over the same (bucket, key) order, and
+    consecutive docs must tile the stream without gaps or overlap."""
+    from webcrawler_spark.pipeline.sampling import pack_sequences
+
+    L = 64
+    d = docs.select("doc_id", (F.col("n_chars") % 97 + 1).alias("n_toks"))
+    got = {
+        r["doc_id"]: (
+            r["tok_start"], r["first_seq"], r["last_seq"], r["n_seqs"],
+            r["seq_offset"],
+        )
+        for r in pack_sequences(d, key="doc_id", n_tokens="n_toks", seq_len=L)
+        .collect()
+    }
+    rows = d.collect()
+    ordered = sorted(rows, key=lambda r: (_hash64(str(r["doc_id"])) % 256, r["doc_id"]))
+    cum = 0
+    for r in ordered:
+        first, last = cum // L, (cum + r["n_toks"] - 1) // L
+        assert got[r["doc_id"]] == (cum, first, last, last - first + 1, cum % L)
+        cum += r["n_toks"]
+    assert len(got) == len(rows)
+
+
+def test_pack_sequences_drops_empty_docs(spark):
+    from webcrawler_spark.pipeline.sampling import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id long, n_toks long"
+    )
+    got = pack_sequences(d, key="doc_id", n_tokens="n_toks", seq_len=8)
+    assert {r["doc_id"] for r in got.collect()} == {1, 3}
+
+
+def test_quantile_buckets_by_is_per_group(spark):
+    """Group-wise tiers: each group's thresholds come from its own
+    histogram — a value that is 'head' in a weak group may be 'tail' in a
+    strong one (the CCNet per-language property a global binning loses)."""
+    from webcrawler_spark.pipeline.sampling import quantile_buckets_by
+
+    rows = [("a", i) for i in range(1, 10)] + [("b", i) for i in range(101, 110)]
+    # one straggler: group b also holds a LOW value that group a would call
+    # mid-tier; within b it must be bucket 0
+    rows.append(("b", 5))
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        (r["grp"], r["v"]): r["bucket"]
+        for r in quantile_buckets_by(df, "grp", F.col("v"), n_buckets=3).collect()
+    }
+    assert got[("b", 5)] == 0
+    assert got[("a", 5)] == 1
+    for g in ("a", "b"):
+        bs = [b for (gg, _), b in got.items() if gg == g]
+        assert min(bs) == 0 and max(bs) == 2
+
+
+def test_temperature_rates_flattens_head(spark):
+    """α=1/2 reweighting: shares ∝ isqrt(n). A 100:1 corpus imbalance
+    becomes 10:1 in sampling shares; integer math throughout."""
+    import math
+
+    from webcrawler_spark.pipeline.sampling import temperature_rates
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 400 else "small") for i in range(404)],
+        "doc_id long, source string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["score"], r["share_ppm"], r["take_n"])
+        for r in temperature_rates(df, "source", budget=1000).collect()
+    }
+    assert got["big"][0] == 400 and got["small"][0] == 4
+    assert got["big"][1] == 20 and got["small"][1] == 2  # isqrt
+    assert got["big"][2] == (20 * 1_000_000) // 22
+    assert got["small"][2] == (2 * 1_000_000) // 22
+    assert got["big"][3] == (1000 * 20) // 22
+    # raw share would be 400/404 = 99%; tempered is 20/22 = 90.9%
+    assert got["big"][2] < 990_000
+
+
 def test_canonicalize_tracking_edge_cases(spark):
     from webcrawler_spark.functions import canonicalize_tracking
 

@@ -304,3 +304,131 @@ def quantile_buckets(
         )
     )
     return staged.join(F.broadcast(mapping), "_bin").drop("_bin")
+
+
+def quantile_buckets_by(
+    df: DataFrame, part_col: str, bin_col: Column, n_buckets: int = 10
+) -> DataFrame:
+    """Group-wise :func:`quantile_buckets`: ``bucket`` ∈ [0, n_buckets) is
+    the row's quantile bucket of ``bin_col`` WITHIN its ``part_col`` group —
+    the CCNet shape (per-language perplexity head/middle/tail), where a
+    global binning would let one dominant language define every other
+    language's thresholds.
+
+    Same scale story as the global version: the only windows run over the
+    (group × bin) histogram — |groups|·|bins| rows, driver-scale — and the
+    mapping broadcasts back; the data relation is never sorted. ntile()
+    OVER (PARTITION BY lang ORDER BY score) computes the same buckets but
+    ships every row of each group through one task."""
+    staged = df.withColumn("_bin", bin_col.cast("long"))
+    counts = staged.groupBy(part_col, "_bin").agg(F.count("*").alias("_c"))
+    cum_w = (
+        Window.partitionBy(part_col)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    all_w = (
+        Window.partitionBy(part_col)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    mapping = (
+        counts.withColumn("_cum", F.coalesce(F.sum("_c").over(cum_w), F.lit(0)))
+        .withColumn("_tot", F.sum("_c").over(all_w))
+        .select(
+            part_col,
+            "_bin",
+            F.least(
+                F.lit(n_buckets - 1).cast("long"),
+                F.expr(f"(_cum * {int(n_buckets)}) div _tot"),
+            ).alias("bucket"),
+        )
+    )
+    return staged.join(F.broadcast(mapping), [part_col, "_bin"]).drop("_bin")
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    n_tokens: str,
+    seq_len: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Training-sequence packing, GPT-style: the corpus is one concatenated
+    token stream in a deterministic global order, cut every ``seq_len``
+    tokens; each document maps to the context windows its tokens land in.
+    This is how LM pretraining consumes a corpus (concat-and-chunk, documents
+    crossing window boundaries), and the writer needs exactly this table to
+    emit fixed-length sequences with document provenance.
+
+    Returns the input plus: ``tok_start`` (the doc's global token offset),
+    ``first_seq``/``last_seq`` (window ids its tokens touch), ``n_seqs``,
+    and ``seq_offset`` (position inside its first window). Zero-token rows
+    are dropped (they occupy no window).
+
+    Global order and scale shape are identical to :func:`pack_shards`:
+    order by (hash-bucket, key); the prefix sum is two-level — per-bucket
+    windows (one shuffle, n_buckets-way parallel) plus a driver-scale
+    offset window over n_buckets totals broadcast back. The naive
+    single-window formulation is a one-task total sort at 10^10 docs. All
+    math is integral (``div``/``%``) — exact past 2^53.
+    """
+    kb = hash64(F.col(key).cast("string")) % F.lit(n_buckets)
+    staged = (
+        df.filter(F.col(n_tokens) > 0)
+        .withColumn("_bkt", kb)
+        .withColumn("_w", F.col(n_tokens).cast("long"))
+    )
+    within = staged.withColumn(
+        "_cum_in",
+        F.sum("_w").over(Window.partitionBy("_bkt").orderBy(key)),
+    )
+    totals = staged.groupBy("_bkt").agg(F.sum("_w").alias("_tot"))
+    off_win = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(off_win), F.lit(0))
+    ).drop("_tot")
+    L = int(seq_len)
+    return (
+        within.join(F.broadcast(offsets), "_bkt")
+        .withColumn("tok_start", F.col("_off") + F.col("_cum_in") - F.col("_w"))
+        .withColumn("first_seq", F.expr(f"tok_start div {L}L"))
+        .withColumn("last_seq", F.expr(f"(tok_start + _w - 1) div {L}L"))
+        .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + F.lit(1))
+        .withColumn("seq_offset", F.expr(f"tok_start % {L}L"))
+        .drop("_bkt", "_w", "_cum_in", "_off")
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    domain: str,
+    alpha_sqrt: bool = True,
+    budget: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (multilingual/multi-source
+    standard: sample domain i with probability ∝ n_i^α, α < 1 flattens the
+    head so low-resource domains are not drowned; mT5/XLM-R use exactly
+    this). α is fixed at 1/2 (``alpha_sqrt``) because integer-exact
+    cross-engine parity is part of the contract: score = isqrt(n_docs) —
+    floor of a correctly-rounded IEEE sqrt of an exact integer is
+    deterministic on every engine, while pow(x, 0.7) is libm-dependent.
+
+    Returns per domain: ``n_docs``, ``score``, ``share_ppm`` (the α-mixture
+    share, per-million, integral) and — when ``budget`` > 0 — ``take_n``,
+    the document count a sampler should draw. One |domains|-row aggregate;
+    the data relation is never shuffled beyond the count's map-side combine.
+    """
+    assert alpha_sqrt, "only α=1/2 (integer-exact) is implemented"
+    counts = df.groupBy(domain).agg(F.count("*").alias("n_docs"))
+    scored = counts.withColumn(
+        "score", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    )
+    out = scored.withColumn(
+        "share_ppm", F.expr("(score * 1000000) div sum(score) over ()")
+    )
+    if budget:
+        out = out.withColumn(
+            "take_n", F.expr(f"({int(budget)}L * score) div sum(score) over ()")
+        )
+    return out
