@@ -82,6 +82,11 @@ HEADLINE = [
     "dedup_canonical",
     "events_asof",
     "events_range_join",
+    "seq_pack",
+    "mixture_temperature",
+    "lang_ppl_buckets",
+    "recrawl_conditional",
+    "crawl_content_gate",
 ]
 
 

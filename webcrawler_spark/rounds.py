@@ -53,7 +53,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -299,52 +299,6 @@ def _offset_map_expr(
     return F.element_at(F.create_map(*kv), F.col(bucket_col)), acc
 
 
-def _round_metric_exprs(nb: int) -> List[Column]:
-    """Per-bucket / per-lineage-partition round stats as CollectMetrics
-    aggregates (``df.observe``), evaluated DURING the round-table write job
-    instead of a second groupingSets job over the pinned parquet — one fewer
-    Spark job per round (per-round fixed cost, the 4→16-core scaling
-    residual; BASELINE.md "per-round fixed cost").
-
-    Emits, per bucket i in [0, nb): ``nn{i}`` = new urls, ``nt{i}`` = newly
-    traversable urls (the inputs to the driver prefix-sum offset maps); per
-    lineage partition p in [0, 32): ``pn{p}`` = new urls (lineage
-    urls_fetched); plus the global duplicate count ``dup``. Distinct
-    aggregates are not legal under CollectMetrics, so hosts_served is NOT
-    here — it backfills in ONE end-of-crawl job (_fill_lineage_hosts).
-
-    Cost model: ~2·nb+33 conditional int sums per row, pure codegen inside
-    an already shuffle-bound job — microseconds per thousand rows, versus a
-    whole extra job launch + scan per round."""
-    exprs: List[Column] = [F.sum("_dup").alias("dup")]
-    for i in range(nb):
-        hit = F.col("_bkt") == i
-        exprs.append(
-            F.sum(F.when(hit, 1 - F.col("_dup")).otherwise(0)).alias(f"nn{i}")
-        )
-        exprs.append(
-            F.sum(F.when(hit, 1 - F.col("_vis")).otherwise(0)).alias(f"nt{i}")
-        )
-    for p in range(N_LINEAGE_PARTS):
-        exprs.append(
-            F.sum(
-                F.when(F.col("_part") == p, 1 - F.col("_dup")).otherwise(0)
-            ).alias(f"pn{p}")
-        )
-    return exprs
-
-
-def _decode_round_metrics(
-    vals: Dict[str, object], nb: int
-) -> Tuple[Dict[int, int], Dict[int, int], Dict[int, int], int]:
-    """Observation dict -> ({bkt: n_new}, {bkt: n_trav}, {part: n_new},
-    n_dup). Sums over zero rows come back NULL -> 0."""
-    nn = {i: int(vals[f"nn{i}"] or 0) for i in range(nb)}
-    nt = {i: int(vals[f"nt{i}"] or 0) for i in range(nb)}
-    pn = {p: int(vals[f"pn{p}"] or 0) for p in range(N_LINEAGE_PARTS)}
-    return nn, nt, pn, int(vals["dup"] or 0)
-
-
 def _fill_lineage_hosts(lineage: List[dict], seen: DataFrame) -> None:
     """Backfill ``hosts_served`` for this crawl's lineage rows in ONE
     count_distinct job over the (column-pruned) url_seen table, instead of a
@@ -574,6 +528,10 @@ def run_crawl(
     fetched_est = 0
 
     lineage: List[dict] = []
+    # background round-table durability writes in flight; each MUST be
+    # joined before any manifest commit (a committed manifest must never
+    # reference a half-written table)
+    pending_writes: List[_AsyncDF] = []
     frontier_rows = n_seeds
 
     start_depth = 0
@@ -709,15 +667,26 @@ def run_crawl(
             _running("_dup", w).alias("_lpos"),
             _running("_vis", w).alias("_lrank"),
         )
-        # round stats ride the write job itself (CollectMetrics): the old
-        # separate groupingSets job over the pinned parquet is gone
-        obs = Observation(f"r{depth}_metrics")
-        round_local = round_local.observe(obs, *_round_metric_exprs(nb))
+        # Pin via eager localCheckpoint in BOTH paths; in the store path the
+        # durability parquet write rides a BACKGROUND thread (the round
+        # parquet is only ever read by resume/inspection, never by this
+        # crawl), so its encode+commit overlaps the stats job and the next
+        # round's parse. Joined before any manifest commit — a commit must
+        # never reference an unfinished write. (A CollectMetrics formulation
+        # of the stats was tried and reverted: its accumulator is an
+        # interpreted per-row aggregate whose expression count grows with
+        # shuffle partitions — measured SLOWER than the job it replaced at
+        # 16 cores, and anti-scaling with cluster size.)
+        round_local = round_local.localCheckpoint(eager=True)
         if store is not None:
-            store.write_table(round_local, "round", depth)
-            round_local = store.read_table(spark, "round", depth)
-        else:
-            round_local = round_local.localCheckpoint(eager=True)
+            pending_writes.append(
+                _AsyncDF(
+                    lambda df=round_local, d=depth: (
+                        store.write_table(df, "round", d),
+                        df,
+                    )[1]
+                )
+            )
         # the round table is pinned; nothing re-reads the bloom prefilter
         # cache after this point — release it or a deep crawl accumulates
         # one cached relation per round
@@ -728,13 +697,31 @@ def run_crawl(
         )
         _ts = time.monotonic()
 
-        # the pinning action above already evaluated the metrics — this is a
-        # driver-side dict read, not a job (r{d}_stats stays as a phase so
-        # round-over-round timing series remain comparable)
-        nn_bkt, nt_bkt, pn_part, n_dup = _decode_round_metrics(obs.get, nb)
+        # ---- job 2 (tiny, distributed, codegen): per-bucket / per-partition
+        # counts in one grouping-sets pass over the pinned in-memory table —
+        # a few int sums, no count_distinct (hosts_served backfills ONCE at
+        # end of crawl via _fill_lineage_hosts)
+        stats = (
+            round_local.groupingSets([["_bkt"], ["_part"]], "_bkt", "_part")
+            .agg(
+                F.sum(1 - F.col("_dup")).alias("n_new"),
+                F.sum("_dup").alias("n_dup"),
+                F.sum(1 - F.col("_vis")).alias("n_trav"),
+                F.grouping_id().alias("_gid"),
+            )
+            .collect()
+        )
+        bkt_rows = [r for r in stats if r["_gid"] == 1]
+        nn_bkt = {r["_bkt"]: int(r["n_new"]) for r in bkt_rows}
+        nt_bkt = {r["_bkt"]: int(r["n_trav"]) for r in bkt_rows}
         n_new = sum(nn_bkt.values())
+        n_dup = sum(int(r["n_dup"]) for r in bkt_rows)
         n_trav = sum(nt_bkt.values())
-        part_rows = [(p, n) for p, n in sorted(pn_part.items()) if n]
+        part_rows = sorted(
+            (int(r["_part"]), int(r["n_new"]))
+            for r in stats
+            if r["_gid"] == 2 and r["n_new"]
+        )
         res.timings.append(
             {"phase": f"r{depth}_stats", "ms": int((time.monotonic() - _ts) * 1000)}
         )
@@ -798,8 +785,8 @@ def run_crawl(
                 {
                     "round": depth,
                     "partition_id": p,
-                    # distinct-host counts can't ride CollectMetrics; one
-                    # end-of-crawl job backfills them (_fill_lineage_hosts)
+                    # the one distinct aggregate is deferred: ONE end-of-
+                    # crawl job backfills hosts_served (_fill_lineage_hosts)
                     "hosts_served": None,
                     "urls_fetched": n,
                     "urls_deduped": n_dup,
@@ -811,6 +798,11 @@ def run_crawl(
 
         if depth < max_depth and frontier_rows == 0:
             break
+
+    # join the background round-table writes (both exits commit a manifest
+    # that references them)
+    for pw in pending_writes:
+        pw.result()
 
     if stopped_at is not None:
         # stopCrawl(): commit the exact round boundary so resume=True picks
