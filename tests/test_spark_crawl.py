@@ -325,6 +325,30 @@ def _run_both_polite(spark, pages_df, corpus, cfg, entry=None, robots=False, **k
     return oracle, result
 
 
+def test_polite_store_commits_round_tables(spark, tiny_pages_df, tiny_corpus, tmp_path):
+    """Polite crawl with a SnapshotStore: the background round-table writes
+    must all be durably on disk by the time the manifest commits (the
+    write-behind contract), and the committed queue must match the
+    store-less run."""
+    import os
+
+    from webcrawler_spark.storage import SnapshotStore
+
+    cfg = CrawlConfig(max_depth=2, per_host_budget=2)
+    store = SnapshotStore(str(tmp_path / "polite"))
+    base, _r1 = _run_both_polite(spark, tiny_pages_df, tiny_corpus, cfg)
+    _, r2 = _run_both_polite(
+        spark, tiny_pages_df, tiny_corpus, cfg, store=store
+    )
+    assert [r["url"] for r in r2.queue.collect()] == base.queue_order
+    m = store.load_manifest()
+    assert m is not None and m.committed_round == r2.rounds_run
+    for rnd in range(r2.rounds_run):
+        assert store.count_table("round", rnd) >= 0  # written + readable
+    committed = store.read_committed(spark, "url_seen")
+    assert committed.count() == len(base.queue_order)
+
+
 @pytest.mark.slow
 def test_polite_queue_order_matches_oracle(spark, tiny_pages_df, tiny_corpus):
     cfg = CrawlConfig(max_depth=2, per_host_budget=2)

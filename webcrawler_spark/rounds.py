@@ -1561,6 +1561,9 @@ def run_polite_crawl(
         fetch_cols.append("content_type")
 
     lineage: List[dict] = []
+    # background round-table durability writes; joined before the manifest
+    # commit (same contract as run_crawl)
+    pending_writes: List[_AsyncDF] = []
     frontier_rows = n_seeds
 
     host_state = None
@@ -1733,11 +1736,19 @@ def run_polite_crawl(
             F.lit(None).cast("long").alias("_lgrank"),
         )
         round_local = b_local.unionByName(deferred_local)
+        # pin in-memory; the durability parquet write rides a background
+        # thread (nothing in this crawl reads it back — resume/inspection
+        # only), joined before the manifest commit below (mirrors run_crawl)
+        round_local = round_local.localCheckpoint(eager=True)
         if store is not None:
-            store.write_table(round_local, "round", rnd)
-            round_local = store.read_table(spark, "round", rnd)
-        else:
-            round_local = round_local.localCheckpoint(eager=True)
+            pending_writes.append(
+                _AsyncDF(
+                    lambda df=round_local, r=rnd: (
+                        store.write_table(df, "round", r),
+                        df,
+                    )[1]
+                )
+            )
         for c in round_caches:  # release the round's bloom prefilter cache
             c.unpersist()
 
@@ -1856,6 +1867,9 @@ def run_polite_crawl(
         if max_pages is not None and fetched_total >= max_pages:
             break  # fetch budget exhausted; discovery state stays committed
         traverse = traverse_next
+
+    for pw in pending_writes:  # a manifest must not reference unfinished writes
+        pw.result()
 
     if store is not None:
         store.write_table(seen, "url_seen", res.rounds_run)
