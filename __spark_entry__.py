@@ -1165,6 +1165,77 @@ from rd group by 1
 """
 
 
+_GATE_BLACKLIST = ("example.com", "plain3.net")
+_GATE_WHITELIST = (
+    "shop0.co.uk", "shop1.co.uk", "plain0.net", "plain1.net", "plain2.net",
+    "plain3.net", "example.com",
+)
+
+
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blacklist/whitelist gate (operators/domaingate.py): the
+    reference's declared-but-unimplemented capability (README.md:212).
+    Keyed on the REGISTRABLE domain so subdomains fall with their
+    registrant; blacklist beats whitelist (the abuse kill-switch wins —
+    example.com and plain3.net sit on BOTH lists and must come out
+    BLACKLISTED). The blacklist goes in as a literal sequence (codegen isin,
+    no join), the whitelist as a DataFrame (broadcast-join path) so both
+    physical strategies are under the oracle."""
+    from webcrawler_spark.operators.domaingate import tag_domains
+
+    o = _t(spark, sf_dir, "orders")
+    i = F.col("o_orderkey")
+    host = F.when(
+        i % 3 == 0, F.concat(F.lit("a"), (i % 5).cast("string"), F.lit(".example.com"))
+    ).when(
+        i % 3 == 1,
+        F.concat(F.lit("b"), (i % 5).cast("string"), F.lit(".shop"),
+                 (i % 2).cast("string"), F.lit(".co.uk")),
+    ).otherwise(F.concat(F.lit("plain"), (i % 7).cast("string"), F.lit(".net")))
+    wl = spark.createDataFrame([(d,) for d in _GATE_WHITELIST], "domain string")
+    tagged = tag_domains(
+        o.select(host.alias("host")),
+        blacklist=list(_GATE_BLACKLIST),
+        whitelist=wl,
+    )
+    return tagged.groupBy(
+        "reg_domain",
+        F.coalesce(F.col("domain_gate_status"), F.lit("ADMITTED")).alias("gate"),
+    ).agg(F.count("*").alias("n_urls"))
+
+
+def _domain_gate_sql() -> str:
+    from webcrawler_spark.functions import MULTIPART_SUFFIXES
+
+    multi = " or ".join(f"ends_with(last2, '{s}')" for s in MULTIPART_SUFFIXES)
+    black = ", ".join(f"'{d}'" for d in _GATE_BLACKLIST)
+    white = ", ".join(f"'{d}'" for d in _GATE_WHITELIST)
+    return f"""
+with hosts as (
+  select case when o_orderkey % 3 = 0 then 'a' || (o_orderkey % 5) || '.example.com'
+              when o_orderkey % 3 = 1 then 'b' || (o_orderkey % 5) || '.shop' || (o_orderkey % 2) || '.co.uk'
+              else 'plain' || (o_orderkey % 7) || '.net' end as host
+  from orders),
+parts as (
+  select host, string_split(host, '.') as l, len(string_split(host, '.')) as n from hosts),
+rd as (
+  select host,
+         array_to_string(l[greatest(n - 1, 1):n], '.') as last2,
+         array_to_string(l[greatest(n - 2, 1):n], '.') as last3,
+         n
+  from parts),
+keyed as (
+  select case when n >= 3 and ({multi}) then last3 else last2 end as reg_domain
+  from rd)
+select reg_domain,
+       case when reg_domain in ({black}) then 'SKIPPED_DOMAIN_BLACKLISTED'
+            when reg_domain not in ({white}) then 'SKIPPED_DOMAIN_NOT_WHITELISTED'
+            else 'ADMITTED' end as gate,
+       count(*)::bigint as n_urls
+from keyed group by 1, 2
+"""
+
+
 def q_host_circuit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host circuit breaker (admission.host_circuit): hosts whose recent
     fetch-error share exceeds 50% over >=5 fetches trip OPEN and sit out the
@@ -4744,6 +4815,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aged_admission": q_aged_admission,
         "host_circuit": q_host_circuit,
         "registrable_domains": q_registrable_domains,
+        "domain_gate": q_domain_gate,
         "robots_filter": q_robots_filter,
         "t3_urlnorm": q_t3_urlnorm,
         "url_canon_tracking": q_url_canon_tracking,
@@ -4872,6 +4944,7 @@ def oracle_sql() -> dict[str, str]:
         "aged_admission": _AGED_ADMISSION_SQL,
         "host_circuit": _HOST_CIRCUIT_SQL,
         "registrable_domains": _registrable_sql(),
+        "domain_gate": _domain_gate_sql(),
         "robots_filter": _ROBOTS_SQL,
         "t3_urlnorm": _T3_SQL,
         "url_canon_tracking": _URL_CANON_SQL,

@@ -148,3 +148,93 @@ def test_gated_polite_crawl_matches_oracle(spark):
     want = {d["url"]: d["status"] for d in o.docs}
     assert got == want
     assert "SKIPPED_CONTENT_TYPE" in set(want.values())
+
+
+# ---------------------------------------------------------------------------
+# Domain blacklist/whitelist gate (operators/domaingate.py) — the other half
+# of README.md:212 ("domain blacklists/whitelists").
+
+
+def _frontier(spark, hosts):
+    return spark.createDataFrame([{"url": f"https://{h}/", "host": h} for h in hosts])
+
+
+def test_domain_gate_semantics(spark):
+    from webcrawler_spark.operators.domaingate import (
+        SKIPPED_BLACKLISTED,
+        SKIPPED_NOT_WHITELISTED,
+        tag_domains,
+    )
+
+    hosts = [
+        "a.evil.com",          # blacklisted via registrable domain
+        "www.evil.com",        # blacklisted (subdomain falls with registrant)
+        "good.co.uk",          # whitelisted (multi-part suffix keying)
+        "sub.good.co.uk",      # whitelisted via registrable domain
+        "neutral.net",         # on neither list -> NOT_WHITELISTED
+        "both.org",            # on BOTH lists -> blacklist wins
+    ]
+    tagged = tag_domains(
+        _frontier(spark, hosts),
+        blacklist=["evil.com", "both.org"],
+        whitelist=["good.co.uk", "both.org"],
+    )
+    got = {r.host: r.domain_gate_status for r in tagged.collect()}
+    assert got == {
+        "a.evil.com": SKIPPED_BLACKLISTED,
+        "www.evil.com": SKIPPED_BLACKLISTED,
+        "good.co.uk": None,
+        "sub.good.co.uk": None,
+        "neutral.net": SKIPPED_NOT_WHITELISTED,
+        "both.org": SKIPPED_BLACKLISTED,
+    }
+
+
+def test_domain_gate_seq_and_df_paths_agree(spark):
+    from webcrawler_spark.operators.domaingate import split_domains
+
+    hosts = [f"h{i}.dom{i % 5}.com" for i in range(40)]
+    black_seq = ["dom1.com", "dom3.com"]
+    black_df = spark.createDataFrame([(d,) for d in black_seq], "domain string")
+    a1, s1 = split_domains(_frontier(spark, hosts), blacklist=black_seq)
+    a2, s2 = split_domains(_frontier(spark, hosts), blacklist=black_df)
+    assert sorted(r.host for r in a1.collect()) == sorted(r.host for r in a2.collect())
+    assert sorted(r.host for r in s1.collect()) == sorted(r.host for r in s2.collect())
+    # blacklist-only: no whitelist status can appear
+    assert {r.domain_gate_status for r in s1.collect()} == {"SKIPPED_DOMAIN_BLACKLISTED"}
+
+
+def test_domain_gate_off_is_identity(spark):
+    from webcrawler_spark.operators.domaingate import split_domains
+
+    f = _frontier(spark, ["x.com"])
+    adm, skipped = split_domains(f)
+    assert skipped is None and adm is f
+
+
+def test_domain_gate_plan_strategies(spark):
+    """Sequence -> codegen isin (no join in the plan); DataFrame ->
+    broadcast hash join (the frontier must never shuffle for the gate)."""
+    from webcrawler_spark.operators.domaingate import tag_domains
+
+    f = _frontier(spark, [f"h{i}.d{i % 3}.com" for i in range(20)])
+    seq_plan = tag_domains(f, blacklist=["d1.com"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in seq_plan
+    df_list = spark.createDataFrame([("d1.com",)], "domain string")
+    df_plan = tag_domains(f, blacklist=df_list)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in df_plan
+    # the only shuffle allowed is the list-side dedup (keyed _gate_domain);
+    # the frontier itself must never repartition for the gate
+    for line in df_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_gate_domain" in line, line
+
+
+def test_domain_gate_isin_cap(spark):
+    import pytest as _pytest
+
+    from webcrawler_spark.operators.domaingate import tag_domains
+
+    big = [f"d{i}.com" for i in range(10_001)]
+    with _pytest.raises(ValueError):
+        tag_domains(_frontier(spark, ["x.com"]), blacklist=big).collect()
