@@ -4770,8 +4770,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # window are deferred to round 5 (judge re-ran all of them green via
 # tools/check_entry.py): winnow_pairs (winnow_fingerprints stays), text_bigram_lp
 # (text_unigram_lp stays), robots_sitemap_chain (robots_parse + robots_rfc_gate
-# + sitemap_seeds all stay).  Round-5 rotation: put those three plus anything
-# still unchecked into positions 1-50.
+# + sitemap_seeds all stay).  Round-5 rotation: the full set of keys still
+# without a driver row after this round's window is (assuming r4 comes back
+# green): domain_gate, mixture_temperature, seq_pack, lang_ppl_buckets,
+# text_bigram_lp, winnow_pairs, robots_sitemap_chain — put those seven in
+# positions 1-7, previously-green keys after.
 _DRIVER_WINDOW_R4 = [
     # new in round 4 (VERDICT tasks 3/4/5: search snippets, content-type +
     # size gate, validator-aware conditional recrawl)

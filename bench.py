@@ -87,6 +87,7 @@ HEADLINE = [
     "lang_ppl_buckets",
     "recrawl_conditional",
     "crawl_content_gate",
+    "domain_gate",
 ]
 
 
