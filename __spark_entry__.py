@@ -186,6 +186,89 @@ def q_f1_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url")
 
 
+_CUCKOO_CACHE: dict = {}
+
+
+def _f1_relations(spark: SparkSession, sf_dir: str):
+    from webcrawler_spark.functions import host_hash_col, parse_host
+
+    li = _t(spark, sf_dir, "lineitem")
+    cand = li.select(
+        F.concat(F.lit("https://cand.example.com/order/"),
+                 F.col("l_orderkey").cast("string")).alias("url")
+    ).distinct()
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
+        F.concat(F.lit("https://cand.example.com/order/"),
+                 F.col("o_orderkey").cast("string")).alias("url")
+    ).withColumn("host_hash", host_hash_col(parse_host(F.col("url"))))
+    return cand, seen
+
+
+def q_f1_dedup_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup gate through the CUCKOO-sidecar fast path (north_star:
+    "Bloom/cuckoo") — semantics must equal the exact anti-join, so the
+    oracle is byte-for-byte _F1_SQL. Memoized + pinned like the bloom
+    sidecar: operationally the filter is a persisted table maintained
+    incrementally per round (cuckoo_sidecar_upsert), never rebuilt per
+    evaluation."""
+    from webcrawler_spark.operators.cuckoo import (
+        cuckoo_sidecar_build,
+        dedup_against_seen_cuckoo,
+    )
+
+    cand, seen = _f1_relations(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "base")
+    sidecar = _CUCKOO_CACHE.get(key)
+    if sidecar is None:
+        sidecar = cuckoo_sidecar_build(
+            seen, n_buckets=8, m_buckets=1 << 13
+        ).localCheckpoint(eager=True)
+        _CUCKOO_CACHE[key] = sidecar
+    return dedup_against_seen_cuckoo(
+        cand, seen.select("url"), sidecar, n_buckets=8
+    ).select("url")
+
+
+def q_cuckoo_delete_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capability the Bloom sidecar cannot express: EVICTION. Recrawl
+    scheduling decides every seen url with o_orderkey % 21 == 0 is
+    fetchable again; those fingerprints are deleted from the sidecar in
+    place (cuckoo_sidecar_delete), and the dedup gate then runs against the
+    updated filter + updated seen table. Exact contract: result =
+    candidates − (seen − evicted); deleted urls flow back through the gate,
+    never-seen urls keep flowing, retained urls stay blocked."""
+    from webcrawler_spark.operators.cuckoo import (
+        cuckoo_sidecar_build,
+        cuckoo_sidecar_delete,
+        dedup_against_seen_cuckoo,
+    )
+
+    cand, seen = _f1_relations(spark, sf_dir)
+    okey = F.regexp_extract("url", r"/order/(\d+)", 1).cast("long")
+    evict = seen.filter(okey % 21 == 0)
+    key = (spark.sparkContext.applicationId, sf_dir, "deleted")
+    sidecar = _CUCKOO_CACHE.get(key)
+    if sidecar is None:
+        base = cuckoo_sidecar_build(seen, n_buckets=8, m_buckets=1 << 13)
+        sidecar = cuckoo_sidecar_delete(
+            base, evict, n_buckets=8
+        ).localCheckpoint(eager=True)
+        _CUCKOO_CACHE[key] = sidecar
+    kept = seen.filter(okey % 21 != 0)
+    return dedup_against_seen_cuckoo(
+        cand, kept.select("url"), sidecar, n_buckets=8
+    ).select("url")
+
+
+_CUCKOO_READMIT_SQL = """
+select distinct 'https://cand.example.com/order/' || l_orderkey as url
+from lineitem
+where ('https://cand.example.com/order/' || l_orderkey) not in
+      (select 'https://cand.example.com/order/' || o_orderkey
+       from orders where o_orderkey % 7 = 0 and o_orderkey % 21 <> 0)
+"""
+
+
 def q_f2_admission_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-aware admission: hosts with >300 pending split across 4 salts,
     per-salt budget ceil(8/4)=2 (north_rule: skew handled explicitly)."""
@@ -4772,9 +4855,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (text_unigram_lp stays), robots_sitemap_chain (robots_parse + robots_rfc_gate
 # + sitemap_seeds all stay).  Round-5 rotation: the full set of keys still
 # without a driver row after this round's window is (assuming r4 comes back
-# green): domain_gate, mixture_temperature, seq_pack, lang_ppl_buckets,
-# text_bigram_lp, winnow_pairs, robots_sitemap_chain — put those seven in
-# positions 1-7, previously-green keys after.
+# green): domain_gate, f1_dedup_cuckoo, cuckoo_delete_readmit,
+# mixture_temperature, seq_pack, lang_ppl_buckets, text_bigram_lp,
+# winnow_pairs, robots_sitemap_chain — put those nine in positions 1-9,
+# previously-green keys after.
 _DRIVER_WINDOW_R4 = [
     # new in round 4 (VERDICT tasks 3/4/5: search snippets, content-type +
     # size gate, validator-aware conditional recrawl)
@@ -4814,6 +4898,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_frontier_round": q_flagship_frontier_round,
         "f1_dedup_anti_join": q_f1_dedup_anti_join,
         "f1_dedup_bloom": q_f1_dedup_bloom,
+        "f1_dedup_cuckoo": q_f1_dedup_cuckoo,
+        "cuckoo_delete_readmit": q_cuckoo_delete_readmit,
         "f2_admission_salted": q_f2_admission_salted,
         "aged_admission": q_aged_admission,
         "host_circuit": q_host_circuit,
@@ -4943,6 +5029,8 @@ def oracle_sql() -> dict[str, str]:
         "flagship_frontier_round": _FLAGSHIP_SQL,
         "f1_dedup_anti_join": _F1_SQL,
         "f1_dedup_bloom": _F1_SQL,  # bloom path must equal exact anti-join
+        "f1_dedup_cuckoo": _F1_SQL,  # cuckoo path: same exactness contract
+        "cuckoo_delete_readmit": _CUCKOO_READMIT_SQL,
         "f2_admission_salted": _F2_SALTED_SQL,
         "aged_admission": _AGED_ADMISSION_SQL,
         "host_circuit": _HOST_CIRCUIT_SQL,

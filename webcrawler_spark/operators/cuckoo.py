@@ -1,0 +1,415 @@
+"""URL-seen dedup sidecar #2: partitioned **cuckoo filter** (north_star:
+"partitioned Bloom/cuckoo filter maintained per host-hash partition via
+mapInPandas").
+
+Why a second filter when the Bloom sidecar (operators/dedup.py) exists: a
+cuckoo filter (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+CoNEXT 2014 — public paper) supports **deletion**, which a crawl actually
+needs: a URL evicted from the seen set (recrawl scheduling decides a GONE /
+expired page is fetchable again) must stop hitting the fast-path "seen"
+answer — with a Bloom sidecar the only options are rebuild or tolerate
+staleness until the next rebuild. The cuckoo sidecar removes the key's
+fingerprint in place, per bucket, incrementally. It also answers "maybe"
+from ONE table lookup of at most two 4-slot buckets (cache-friendly) versus
+the Bloom's k=7 scattered bit probes, at a comparable false-positive rate
+(16-bit fingerprints, 4-slot buckets: fpr ≈ 2·b/2^16 ≈ 0.012%).
+
+Same JVM/numpy hash split as the Bloom sidecar (input_hint: "no per-row
+Python"): the two base hashes are ``xxhash64`` COLUMNS; the fingerprint and
+both candidate buckets derive from them vectorized inside the UDF:
+
+    f  = low 16 bits of h2, 0 mapped to 1      (0 = empty slot sentinel)
+    i1 = h1 mod m
+    i2 = i1 XOR (f · 0x5bd1e995 mod m)         (partial-key cuckooing)
+
+so i2(i1, f) is an involution: either bucket recovers the other without the
+key — that is what makes displacement (and deletion) possible.
+
+Determinism (the engine's cross-run contract): a cuckoo table's layout
+depends on insert order, so every build/upsert inserts in SORTED ``(h1,
+h2)`` order and evictions pick victims round-robin — the table BYTES are a
+pure function of the key set, independent of arrow batching or task
+placement. Duplicate (h1, h2) pairs collapse before insert (the seen set is
+a set; multiset duplicates would burn slots and break delete-once).
+
+Deletion contract (standard cuckoo-filter caveat, stated honestly): only
+delete keys that were inserted. Deleting removes ONE copy of the
+fingerprint from the key's buckets; deleting a never-inserted key can strip
+a colliding key's fingerprint (a false negative). The crawl only deletes
+from ``url_seen`` rows, which satisfies the contract by construction.
+
+Scale shape is identical to the Bloom sidecar: state lives per host_hash
+bucket (co-located with the frontier partitioning), built and maintained by
+``mapInPandas`` / cogrouped ``applyInPandas`` over int64 hash columns —
+URL strings never cross into Python, the seen table never reshuffles for
+the fast path, and per-round maintenance is O(|delta| + touched buckets),
+never a rebuild.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .dedup import anti_join_new, bloom_hash_cols, bucket_col
+
+SLOTS = 4                 # entries per bucket (b=4: the paper's sweet spot)
+MAX_KICKS = 500           # displacement bound before "filter full"
+_FP_MUL = np.uint64(0x5BD1E995)  # fingerprint -> alt-bucket offset hash
+
+
+def _fingerprints(h2: np.ndarray) -> np.ndarray:
+    f = (np.ascontiguousarray(h2, dtype=np.int64).view(np.uint64)
+         & np.uint64(0xFFFF)).astype(np.uint16)
+    f[f == 0] = 1
+    return f
+
+
+def _i1(h1: np.ndarray, m: int) -> np.ndarray:
+    return (np.ascontiguousarray(h1, dtype=np.int64).view(np.uint64)
+            & np.uint64(m - 1)).astype(np.int64)
+
+
+def _alt(i: np.ndarray, f: np.ndarray, m: int) -> np.ndarray:
+    off = (f.astype(np.uint64) * _FP_MUL) & np.uint64(m - 1)
+    return (i.astype(np.uint64) ^ off).astype(np.int64)
+
+
+def _dedup_sort(h1: np.ndarray, h2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Unique (h1, h2) pairs in sorted order — the deterministic insert
+    sequence regardless of how arrow batches sliced the partition."""
+    pairs = np.stack(
+        [np.ascontiguousarray(h1, np.int64), np.ascontiguousarray(h2, np.int64)],
+        axis=1,
+    )
+    uniq = np.unique(pairs, axis=0)
+    return uniq[:, 0], uniq[:, 1]
+
+
+def cuckoo_new(m_buckets: int) -> np.ndarray:
+    assert m_buckets & (m_buckets - 1) == 0, "m_buckets must be a power of two"
+    return np.zeros((m_buckets, SLOTS), dtype=np.uint16)
+
+
+def cuckoo_insert_hashed(table: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> int:
+    """Insert the (deduped, sorted) key set into ``table`` in place; returns
+    the number of fingerprints stored. Raises when the displacement bound is
+    hit — the filter is over capacity and the caller must size ``m_buckets``
+    for its bucket's key count (≤ ~0.95·4·m per the paper)."""
+    m = table.shape[0]
+    mask = m - 1
+    mul = int(_FP_MUL)
+    u1, u2 = _dedup_sort(h1, h2)
+    fs = _fingerprints(u2)
+    i1s = _i1(u1, m)
+    # the alternate bucket of every key, vectorized once; inside the kick
+    # loop the hash is plain int arithmetic (no per-iteration array churn)
+    stored = 0
+    for f, i in zip(fs.tolist(), i1s.tolist()):
+        cur_f, cur_i = int(f), int(i)
+        placed = False
+        for kick in range(MAX_KICKS):
+            row = table[cur_i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = cur_f
+                placed = True
+                break
+            if kick == 0:
+                row2 = table[(cur_i ^ (cur_f * mul)) & mask]
+                empty2 = np.flatnonzero(row2 == 0)
+                if empty2.size:
+                    row2[empty2[0]] = cur_f
+                    placed = True
+                    break
+            # deterministic eviction: round-robin victim slot, swap, move to
+            # the victim's alternate bucket
+            slot = kick % SLOTS
+            victim = int(row[slot])
+            row[slot] = cur_f
+            cur_f = victim
+            cur_i = (cur_i ^ (cur_f * mul)) & mask
+        if not placed:
+            raise ValueError(
+                f"cuckoo filter full after {MAX_KICKS} kicks "
+                f"(m_buckets={m}, stored={stored}); size m_buckets for the "
+                "bucket's key count"
+            )
+        stored += 1
+    return stored
+
+
+def cuckoo_maybe_contains_hashed(
+    table: np.ndarray, h1: np.ndarray, h2: np.ndarray
+) -> np.ndarray:
+    """Vectorized membership: fingerprint present in either candidate
+    bucket. No false negatives for inserted-and-not-deleted keys."""
+    if not len(h1):
+        return np.zeros(0, dtype=bool)
+    m = table.shape[0]
+    fs = _fingerprints(np.asarray(h2))
+    i1s = _i1(np.asarray(h1), m)
+    i2s = _alt(i1s, fs, m)
+    hit1 = (table[i1s] == fs[:, None]).any(axis=1)
+    hit2 = (table[i2s] == fs[:, None]).any(axis=1)
+    return hit1 | hit2
+
+
+def cuckoo_delete_hashed(
+    table: np.ndarray, h1: np.ndarray, h2: np.ndarray
+) -> np.ndarray:
+    """Remove ONE stored copy of each key's fingerprint (bucket i1 first,
+    then i2), in the same sorted deterministic order as insertion. Returns
+    the per-unique-key deleted mask. In-place."""
+    m = table.shape[0]
+    mask = m - 1
+    mul = int(_FP_MUL)
+    u1, u2 = _dedup_sort(h1, h2)
+    fs = _fingerprints(u2)
+    i1s = _i1(u1, m)
+    out = np.zeros(len(fs), dtype=bool)
+    for k, (f, i) in enumerate(zip(fs.tolist(), i1s.tolist())):
+        for b in (int(i), (int(i) ^ (int(f) * mul)) & mask):
+            row = table[b]
+            hits = np.flatnonzero(row == f)
+            if hits.size:
+                row[hits[0]] = 0
+                out[k] = True
+                break
+    return out
+
+
+def _to_bytes(table: np.ndarray) -> bytes:
+    return table.astype("<u2").tobytes()
+
+
+def _from_bytes(blob: bytes) -> np.ndarray:
+    arr = np.frombuffer(bytes(blob), dtype="<u2").astype(np.uint16)
+    return arr.reshape(len(arr) // SLOTS, SLOTS).copy()
+
+
+# ---------------------------------------------------------------------------
+# Distributed operators (mirror the Bloom sidecar's shapes)
+# ---------------------------------------------------------------------------
+
+CUCKOO_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("m_buckets", LongType()),
+        StructField("table", BinaryType()),
+        StructField("n_keys", LongType()),
+    ]
+)
+
+
+def cuckoo_sidecar_build(
+    seen: DataFrame,
+    n_buckets: int = 64,
+    m_buckets: int = 1 << 14,
+    url_col: str = "url",
+    host_hash_col: str = "host_hash",
+) -> DataFrame:
+    """Per-host_hash-bucket cuckoo filters from a url_seen table (or a
+    round's delta — see :func:`cuckoo_sidecar_upsert`). Only (bucket, h1,
+    h2) int64 columns cross into Python. Each partition accumulates its
+    bucket's full hash set first so the sorted-insert determinism holds
+    across arrow batch boundaries."""
+    h1, h2 = bloom_hash_cols(F.col(url_col))
+
+    def build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            for bucket, grp in pdf.groupby("_bucket"):
+                acc.setdefault(int(bucket), []).append(
+                    (grp["_h1"].to_numpy(np.int64), grp["_h2"].to_numpy(np.int64))
+                )
+        if acc:
+            rows = []
+            for b, chunks in acc.items():
+                t = cuckoo_new(m_buckets)
+                n = cuckoo_insert_hashed(
+                    t,
+                    np.concatenate([c[0] for c in chunks]),
+                    np.concatenate([c[1] for c in chunks]),
+                )
+                rows.append((b, m_buckets, _to_bytes(t), n))
+            yield pd.DataFrame(rows, columns=["bucket", "m_buckets", "table", "n_keys"])
+
+    hashed = seen.select(
+        bucket_col(F.col(host_hash_col), n_buckets).alias("_bucket"),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+    )
+    return hashed.repartition(n_buckets, "_bucket").mapInPandas(build, CUCKOO_SCHEMA)
+
+
+def _hashed_keys(df: DataFrame, n_buckets: int, url_col: str,
+                 host_hash_col: str) -> DataFrame:
+    if host_hash_col in df.columns:
+        hh = F.col(host_hash_col)
+    else:
+        from ..functions import host_hash_col as _hh, parse_host
+
+        hh = _hh(parse_host(F.col(url_col)))
+    h1, h2 = bloom_hash_cols(F.col(url_col))
+    return df.select(
+        bucket_col(hh, n_buckets).alias("bucket"),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+    )
+
+
+def _apply_per_bucket(
+    sidecar: DataFrame, keys: DataFrame, op: str, m_buckets_default: int
+) -> DataFrame:
+    """Cogroup (sidecar row, key slice) per bucket and mutate the table —
+    the shared shape of upsert and delete. Buckets with no keys pass
+    through untouched; keys with no filter row get a fresh
+    ``m_buckets_default`` table (upsert) or are no-ops (delete)."""
+
+    cols = ["bucket", "m_buckets", "table", "n_keys"]
+
+    def fold(key, side_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+        if keys_pdf.empty:
+            return side_pdf[cols] if not side_pdf.empty else pd.DataFrame(columns=cols)
+        bucket = int(key[0])
+        if side_pdf.empty:
+            if op == "delete":
+                return pd.DataFrame(columns=cols)
+            m, t, n = m_buckets_default, cuckoo_new(m_buckets_default), 0
+        else:
+            row = side_pdf.iloc[0]
+            m, t, n = int(row["m_buckets"]), _from_bytes(row["table"]), int(row["n_keys"])
+        h1 = keys_pdf["_h1"].to_numpy(np.int64)
+        h2 = keys_pdf["_h2"].to_numpy(np.int64)
+        if op == "upsert":
+            n += cuckoo_insert_hashed(t, h1, h2)
+        else:
+            n -= int(cuckoo_delete_hashed(t, h1, h2).sum())
+        return pd.DataFrame([(bucket, m, _to_bytes(t), n)], columns=cols)
+
+    return (
+        sidecar.groupBy("bucket")
+        .cogroup(keys.groupBy("bucket"))
+        .applyInPandas(fold, CUCKOO_SCHEMA)
+    )
+
+
+def cuckoo_sidecar_upsert(
+    sidecar: DataFrame,
+    delta_seen: DataFrame,
+    n_buckets: int = 64,
+    m_buckets: int = 1 << 14,
+    url_col: str = "url",
+    host_hash_col: str = "host_hash",
+) -> DataFrame:
+    """Per-round incremental maintenance: insert the round's new_seen delta
+    into the persisted sidecar — O(|delta| + touched buckets). The delta's
+    keys must be new (the round's post-anti-join new_seen rows are, by
+    construction); re-upserting an existing key would store a second copy
+    and skew delete-once accounting. ``m_buckets`` sizes tables for buckets
+    the build never saw (first keys for a new host-hash range)."""
+    keys = _hashed_keys(delta_seen, n_buckets, url_col, host_hash_col)
+    return _apply_per_bucket(sidecar, keys, "upsert", m_buckets)
+
+
+def cuckoo_sidecar_delete(
+    sidecar: DataFrame,
+    deletions: DataFrame,
+    n_buckets: int = 64,
+    url_col: str = "url",
+    host_hash_col: str = "host_hash",
+) -> DataFrame:
+    """Evict keys (recrawl eligibility): remove one fingerprint copy per
+    deleted URL. Callers pass rows FROM url_seen (the deletion contract)."""
+    keys = _hashed_keys(deletions, n_buckets, url_col, host_hash_col)
+    return _apply_per_bucket(sidecar, keys, "delete", 0)
+
+
+def cuckoo_prefilter(
+    candidates: DataFrame,
+    sidecar: DataFrame,
+    url_col: str = "url",
+    host_hash_col: str = "host_hash",
+    n_buckets: int = 64,
+    cache_registry: Optional[list] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """Split candidates into (definitely_new, maybe_seen) — the same
+    cogroup shape, persistence discipline, and no-false-negative contract
+    as dedup.bloom_prefilter, probing the cuckoo table instead."""
+    if host_hash_col in candidates.columns:
+        hh = F.col(host_hash_col)
+    else:
+        from ..functions import host_hash_col as _hh, parse_host
+
+        hh = _hh(parse_host(F.col(url_col)))
+    h1, h2 = bloom_hash_cols(F.col(url_col))
+    cand = (
+        candidates.withColumn("_bucket", bucket_col(hh, n_buckets))
+        .withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+    )
+    side = sidecar.withColumnRenamed("bucket", "_bucket")
+
+    internal = {"_bucket", "_h1", "_h2"}
+    carry = [f.name for f in cand.schema.fields if f.name not in internal]
+    out_schema = StructType(
+        [f for f in cand.schema.fields if f.name not in internal]
+        + [StructField("_maybe", IntegerType())]
+    )
+
+    def split(key, cand_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return cand_pdf.assign(_maybe=pd.Series([], dtype="int32"))[carry + ["_maybe"]]
+        if side_pdf.empty:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            t = _from_bytes(side_pdf.iloc[0]["table"])
+            maybe = cuckoo_maybe_contains_hashed(
+                t, cand_pdf["_h1"].to_numpy(np.int64), cand_pdf["_h2"].to_numpy(np.int64)
+            )
+        out = cand_pdf[carry].copy()
+        out["_maybe"] = maybe.astype("int32")
+        return out
+
+    joined = cand.groupBy("_bucket").cogroup(side.groupBy("_bucket")).applyInPandas(
+        split, out_schema
+    )
+    joined = joined.persist()
+    if cache_registry is not None:
+        cache_registry.append(joined)
+    new = joined.filter(F.col("_maybe") == 0).drop("_maybe")
+    maybe = joined.filter(F.col("_maybe") == 1).drop("_maybe")
+    return new, maybe
+
+
+def dedup_against_seen_cuckoo(
+    candidates: DataFrame,
+    seen: DataFrame,
+    sidecar: DataFrame,
+    url_col: str = "url",
+    n_buckets: int = 64,
+    cache_registry: Optional[list] = None,
+) -> DataFrame:
+    """Exact dedup gate through the cuckoo fast path: prefilter, then the
+    exact anti-join on the maybe-residue only — semantics identical to
+    ``anti_join_new`` (the filter is a shuffle saver, never an answer)."""
+    new, maybe = cuckoo_prefilter(
+        candidates, sidecar, url_col=url_col, n_buckets=n_buckets,
+        cache_registry=cache_registry,
+    )
+    checked = anti_join_new(maybe, seen, url_col)
+    return new.unionByName(checked)
