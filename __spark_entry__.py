@@ -296,6 +296,50 @@ select url, host from ranked where adm <= budget
 """
 
 
+def q_robots_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt cache validity (robots.robots_cache_states; RFC 9309 §2.4
+    + reference README.md:146 "fetch and cache robots.txt"): 40 frontier
+    hosts, host i's cached copy fetched i*4 hours before the round's single
+    decision instant, every 4th host missing a copy entirely. ttl 24 h /
+    grace 96 h puts hosts on every state and exactly ON both boundaries
+    (i=6 → age == ttl → FRESH; i=24 → age == grace → STALE_USABLE)."""
+    from webcrawler_spark.operators.robots import robots_cache_states
+
+    u = _urls(spark, sf_dir)
+    hosts = u.select("host").distinct()
+    i = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    robots = hosts.filter(i % 4 != 3).select(
+        "host",
+        F.expr(
+            "timestamp'2026-01-02 00:00:00' - make_interval(0, 0, 0, 0, "
+            "4 * cast(regexp_extract(host, 'host(\\\\d+)', 1) as int), 0, 0)"
+        ).alias("fetched_ts"),
+    )
+    return robots_cache_states(
+        hosts, robots, now="2026-01-02 00:00:00",
+        ttl_s=24 * 3600, grace_s=96 * 3600,
+    )
+
+
+_ROBOTS_CACHE_SQL = f"""
+with urls as ({_URLS_SQL}),
+hosts as (
+  select distinct host, regexp_extract(host, 'host(\\d+)', 1)::int as i from urls),
+aged as (
+  select host,
+         case when i % 4 = 3 then null else (i * 4 * 3600)::bigint end as age_s
+  from hosts)
+select host,
+       case when age_s is null then 'MISSING'
+            when age_s <= 24*3600 then 'FRESH'
+            when age_s <= 96*3600 then 'STALE_USABLE'
+            else 'EXPIRED' end as robots_state,
+       age_s,
+       (age_s is null or age_s > 24*3600) as refetch
+from aged
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt gate (SURVEY §2.8; CrawlStatus.SKIPPED_ROBOTS,
     model/CrawlStatus.java:10-11): per-host disallow prefix list, broadcast
@@ -4856,9 +4900,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # + sitemap_seeds all stay).  Round-5 rotation: the full set of keys still
 # without a driver row after this round's window is (assuming r4 comes back
 # green): domain_gate, f1_dedup_cuckoo, cuckoo_delete_readmit,
-# mixture_temperature, seq_pack, lang_ppl_buckets, text_bigram_lp,
-# winnow_pairs, robots_sitemap_chain — put those nine in positions 1-9,
-# previously-green keys after.
+# robots_cache_ttl, mixture_temperature, seq_pack, lang_ppl_buckets,
+# text_bigram_lp, winnow_pairs, robots_sitemap_chain — put those ten in
+# positions 1-10, previously-green keys after.
 _DRIVER_WINDOW_R4 = [
     # new in round 4 (VERDICT tasks 3/4/5: search snippets, content-type +
     # size gate, validator-aware conditional recrawl)
@@ -4906,6 +4950,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,
         "domain_gate": q_domain_gate,
         "robots_filter": q_robots_filter,
+        "robots_cache_ttl": q_robots_cache_ttl,
         "t3_urlnorm": q_t3_urlnorm,
         "url_canon_tracking": q_url_canon_tracking,
         "t4_url_filter": q_t4_url_filter,
@@ -5037,6 +5082,7 @@ def oracle_sql() -> dict[str, str]:
         "registrable_domains": _registrable_sql(),
         "domain_gate": _domain_gate_sql(),
         "robots_filter": _ROBOTS_SQL,
+        "robots_cache_ttl": _ROBOTS_CACHE_SQL,
         "t3_urlnorm": _T3_SQL,
         "url_canon_tracking": _URL_CANON_SQL,
         "t4_url_filter": _T4_SQL,

@@ -88,6 +88,7 @@ HEADLINE = [
     "recrawl_conditional",
     "crawl_content_gate",
     "domain_gate",
+    "f1_dedup_cuckoo",
 ]
 
 

@@ -328,3 +328,37 @@ def test_robots_parse_malformed_crawl_delay_survives(spark):
            for r in parse_robots_txt(df).collect()}
     assert got["a.test"] == (["/x"], None)
     assert got["b.test"] == ([], 2000)
+
+
+def test_robots_cache_states_boundaries(spark):
+    """RFC 9309 §2.4 cache plan: exact TTL/grace boundary behavior, missing
+    hosts, and the refetch list (operators/robots.robots_cache_states)."""
+    from webcrawler_spark.operators.robots import robots_cache_states
+
+    hosts = spark.createDataFrame(
+        [(h,) for h in ["fresh.com", "edge-ttl.com", "stale.com",
+                        "edge-grace.com", "expired.com", "missing.com"]],
+        "host string",
+    )
+    now = "2026-01-02 00:00:00"
+    rows = [
+        ("fresh.com", "2026-01-01 23:00:00"),     # 1h
+        ("edge-ttl.com", "2026-01-01 00:00:00"),  # exactly 24h -> FRESH
+        ("stale.com", "2025-12-31 00:00:00"),     # 48h
+        ("edge-grace.com", "2025-12-29 00:00:00"),# exactly 96h -> STALE_USABLE
+        ("expired.com", "2025-12-01 00:00:00"),   # 32 days
+    ]
+    robots = spark.createDataFrame(rows, "host string, fetched_ts string") \
+        .selectExpr("host", "cast(fetched_ts as timestamp) as fetched_ts")
+    out = robots_cache_states(
+        hosts, robots, now=now, ttl_s=24 * 3600, grace_s=96 * 3600
+    )
+    got = {r.host: (r.robots_state, r.refetch) for r in out.collect()}
+    assert got == {
+        "fresh.com": ("FRESH", False),
+        "edge-ttl.com": ("FRESH", False),
+        "stale.com": ("STALE_USABLE", True),
+        "edge-grace.com": ("STALE_USABLE", True),
+        "expired.com": ("EXPIRED", True),
+        "missing.com": ("MISSING", True),
+    }

@@ -146,3 +146,65 @@ def robots_sitemaps(
         .filter((F.col("key") == "sitemap") & (F.col("val") != ""))
         .select("host", F.col("val").alias("sitemap"), "pos")
     )
+
+
+ROBOTS_FRESH = "FRESH"
+ROBOTS_STALE_USABLE = "STALE_USABLE"
+ROBOTS_EXPIRED = "EXPIRED"
+ROBOTS_MISSING = "MISSING"
+
+
+def robots_cache_states(
+    frontier_hosts: DataFrame,
+    robots: DataFrame,
+    now,
+    ttl_s: int = 24 * 3600,
+    grace_s: int = 7 * 24 * 3600,
+    host_col: str = "host",
+    fetched_ts_col: str = "fetched_ts",
+) -> DataFrame:
+    """robots.txt cache-validity plan (the "cache" half of the reference's
+    "Fetch and cache robots.txt per domain", README.md:146, which it never
+    implements). RFC 9309 §2.4: a cached copy MAY be used for up to 24
+    hours, and for longer when the file is unreachable — modeled as a TTL
+    plus a grace window:
+
+    - ``FRESH``        age ≤ ttl_s — use the cached rules, no refetch.
+    - ``STALE_USABLE`` ttl_s < age ≤ grace_s — rules still applied this
+      round (the RFC's unreachable-extension), refetch scheduled.
+    - ``EXPIRED``      age > grace_s — cached copy unusable; refetch
+      required before fetching the host (treated like MISSING by the gate).
+    - ``MISSING``      the frontier names a host with no robots row at all.
+
+    Returns one row per distinct frontier host: (host, robots_state,
+    age_s, refetch) where ``refetch`` marks STALE_USABLE / EXPIRED /
+    MISSING. ``now`` is an explicit timestamp (a crawl round has ONE
+    decision instant — wall-clock-per-row would make the plan
+    non-deterministic and retry-unstable).
+
+    Scale: hosts are the crawl's small dimension (10^7 hosts vs 10^10
+    urls); one distinct + one host-keyed left join against the robots
+    table, all JVM-side. The refetch list is exactly the host set a real
+    fetcher would enqueue robots.txt GETs for."""
+    hosts = frontier_hosts.select(F.col(host_col).alias("host")).distinct()
+    cache = robots.select(
+        F.col(host_col).alias("host"),
+        F.col(fetched_ts_col).alias("_fetched_ts"),
+    )
+    now_col = F.lit(now).cast("timestamp")
+    age = (now_col.cast("long") - F.col("_fetched_ts").cast("long"))
+    state = (
+        F.when(F.col("_fetched_ts").isNull(), F.lit(ROBOTS_MISSING))
+        .when(age <= int(ttl_s), F.lit(ROBOTS_FRESH))
+        .when(age <= int(grace_s), F.lit(ROBOTS_STALE_USABLE))
+        .otherwise(F.lit(ROBOTS_EXPIRED))
+    )
+    return (
+        hosts.join(cache, "host", "left")
+        .select(
+            "host",
+            state.alias("robots_state"),
+            age.alias("age_s"),
+            (state != ROBOTS_FRESH).alias("refetch"),
+        )
+    )
