@@ -44,6 +44,15 @@ bucket (co-located with the frontier partitioning), built and maintained by
 URL strings never cross into Python, the seen table never reshuffles for
 the fast path, and per-round maintenance is O(|delta| + touched buckets),
 never a rebuild.
+
+Sizing at a 10^10-URL frontier: insertion is a per-key Python loop
+(~1.3e5 keys/s/core measured — the price of displacement; probes are
+vectorized at ~1e7 keys/s/core), so ``n_buckets`` must scale with the seen
+set: at 10^10 urls use n_buckets ≈ 2^16 so a bucket holds ~1.5e5 keys
+(m_buckets 2^16 → 94% max load) and a full build is ~1 s/task × 65k
+parallel tasks; per-round delta upserts touch only the delta's buckets.
+The Bloom sidecar stays the build-throughput choice; this filter is the
+one you can delete from.
 """
 
 from __future__ import annotations
