@@ -2509,6 +2509,70 @@ from tg join eg using (g)
 """
 
 
+def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored decontamination (decontam.eval_containment): the
+    any-overlap rule refined to "≥30% of the eval doc's 8-grams appear in
+    the training doc". Planted evidence at three containment levels: full
+    copies (+2M ids, 1e6 pm) and half-prefix copies (+4M, ~48% pm) must be
+    flagged; quarter-prefix copies (+6M, ~23%) must NOT — the threshold is
+    genuinely exercised on both sides. Integer per-million math, exact
+    across engines."""
+    from webcrawler_spark.pipeline.decontam import eval_containment
+
+    d = _t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    tk = F.split(F.lower(F.col("text")), r"\s+")
+    tk = F.filter(tk, lambda t: t != "")
+
+    def prefix_copy(frac_den: int, shift: int):
+        cut = F.expr(
+            f"size(filter(split(lower(text), '\\\\s+'), t -> t != '')) div {frac_den}"
+        )
+        return eval_df.select(
+            (F.col("doc_id") + shift).alias("doc_id"),
+            F.array_join(F.slice(tk, 1, cut), " ").alias("text"),
+        )
+
+    train = (
+        d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+        .unionByName(eval_df.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+        .unionByName(prefix_copy(2, 4_000_000))
+        .unionByName(prefix_copy(4, 6_000_000))
+    )
+    return eval_containment(train, eval_df, tau_pm=300_000)
+
+
+_GRAMS_SQL = (
+    "list_distinct(list_transform(range(1, len(tk) - 6), "
+    + "i -> " + _HASH64_SQL.format(x="array_to_string(tk[i:i+7], ' ')") + "))"
+)
+
+_DECONTAM_CONTAIN_SQL = f"""
+with ev as (
+  select doc_id, text, {_TOKS_SQL} as tk from documents where doc_id % 97 = 0),
+train as (
+  select doc_id, text from documents where doc_id % 97 <> 0
+  union all select doc_id + 2000000, text from ev
+  union all select doc_id + 4000000, array_to_string(tk[1:(len(tk) // 2)], ' ') from ev
+  union all select doc_id + 6000000, array_to_string(tk[1:(len(tk) // 4)], ' ') from ev),
+eg as (
+  select doc_id as ek, unnest({_GRAMS_SQL}) as g
+  from (select doc_id, {_TOKS_SQL} as tk from ev) where len(tk) >= 8),
+etot as (select ek, count(*) as eval_grams from eg group by ek),
+tg as (
+  select doc_id as k, unnest({_GRAMS_SQL}) as g
+  from (select doc_id, {_TOKS_SQL} as tk from train) where len(tk) >= 8),
+hits as (
+  select k, ek, count(*) as hit_grams
+  from tg join eg using (g) group by k, ek)
+select k as doc_id, ek as eval_doc_id,
+       hit_grams::bigint as hit_grams, eval_grams::bigint as eval_grams,
+       ((1000000 * hit_grams) // eval_grams)::bigint as containment_pm
+from hits join etot using (ek)
+where (1000000 * hit_grams) // eval_grams >= 300000
+"""
+
+
 def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (textstats.winnow_fingerprints, the MOSS
     algorithm): per-doc distinct window-min gram hashes — any shared run of
@@ -4900,9 +4964,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # + sitemap_seeds all stay).  Round-5 rotation: the full set of keys still
 # without a driver row after this round's window is (assuming r4 comes back
 # green): domain_gate, f1_dedup_cuckoo, cuckoo_delete_readmit,
-# robots_cache_ttl, mixture_temperature, seq_pack, lang_ppl_buckets,
-# text_bigram_lp, winnow_pairs, robots_sitemap_chain — put those ten in
-# positions 1-10, previously-green keys after.
+# robots_cache_ttl, decontaminate_containment, mixture_temperature,
+# seq_pack, lang_ppl_buckets, text_bigram_lp, winnow_pairs,
+# robots_sitemap_chain — put those eleven in positions 1-11,
+# previously-green keys after.
 _DRIVER_WINDOW_R4 = [
     # new in round 4 (VERDICT tasks 3/4/5: search snippets, content-type +
     # size gate, validator-aware conditional recrawl)
@@ -4988,6 +5053,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "lang_ppl_buckets": q_lang_ppl_buckets,
         "decontaminate": q_decontaminate,
+        "decontaminate_containment": q_decontaminate_containment,
         "stream_events_windowed": q_stream_events_windowed,
         "set_intersect": q_set_intersect,
         "agg_rollup": q_agg_rollup,
@@ -5120,6 +5186,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": _SEQ_PACK_SQL,
         "lang_ppl_buckets": _lang_ppl_buckets_sql(),
         "decontaminate": _DECONTAM_SQL,
+        "decontaminate_containment": _DECONTAM_CONTAIN_SQL,
         "stream_events_windowed": _STREAM_EVENTS_SQL,
         "set_intersect": _SET_INTERSECT_SQL,
         "agg_rollup": _AGG_ROLLUP_SQL,

@@ -795,6 +795,39 @@ def test_decontaminate_case_and_whitespace_normalized(spark):
     assert [r["doc_id"] for r in contaminated_docs(train, eval_df).collect()] == [2]
 
 
+def test_eval_containment_thresholds(spark):
+    """Containment pm is exact integer math on distinct-gram sets; the
+    eval-doc denominator makes the score asymmetric, and tau cuts pairs
+    below threshold (decontam.eval_containment)."""
+    from webcrawler_spark.pipeline.decontam import eval_containment
+
+    toks = [f"w{i}" for i in range(27)]   # 27 tokens -> 20 distinct 8-grams
+    eval_df = spark.createDataFrame(
+        [(100, " ".join(toks))], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # full copy inside a longer doc: all 20 grams -> 1_000_000 pm
+            (1, "pad1 pad2 " + " ".join(toks) + " pad3"),
+            # first 15 tokens -> 8 of 20 grams -> 400_000 pm
+            (2, " ".join(toks[:15])),
+            # first 10 tokens -> 3 of 20 grams -> 150_000 pm (below tau)
+            (3, " ".join(toks[:10])),
+            # no overlap
+            (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+        ],
+        "doc_id long, text string",
+    )
+    out = eval_containment(train, eval_df, tau_pm=300_000)
+    got = {r.doc_id: (r.hit_grams, r.eval_grams, r.containment_pm)
+           for r in out.collect()}
+    assert got == {1: (20, 20, 1_000_000), 2: (8, 20, 400_000)}
+    # lowering tau surfaces the partial copy with its exact score
+    low = {r.doc_id: r.containment_pm
+           for r in eval_containment(train, eval_df, tau_pm=1).collect()}
+    assert low == {1: 1_000_000, 2: 400_000, 3: 150_000}
+
+
 def test_gopher_flags_each_rule(spark):
     from webcrawler_spark.pipeline.textstats import with_gopher_flags
 

@@ -79,3 +79,69 @@ def contaminated_docs(
         .drop("g")
         .dropDuplicates([key])
     )
+
+
+def eval_containment(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tau_pm: int = 300_000,
+    key: str = "doc_id",
+    eval_key: str = "doc_id",
+    text: str = "text",
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Containment-scored decontamination — the refinement of
+    :func:`contaminated_docs`' any-overlap rule that large curations
+    actually ship (Llama/GPT-4-style: an eval example is "contaminated in"
+    a training doc when a sizable FRACTION of its n-grams appears there,
+    not when one boilerplate gram does; a single shared 8-gram like a
+    license header must not nuke a benchmark).
+
+    Score per (train doc, eval doc) pair with ≥1 shared gram:
+
+        containment_pm = (1_000_000 * |train_grams ∩ eval_grams|)
+                         div |eval_grams|          (integer per-million)
+
+    asymmetric on purpose: the denominator is the EVAL doc's gram count —
+    "how much of this eval example is inside this training doc" — so a
+    100k-token training doc that swallows a 40-token eval example scores
+    1e6, while Jaccard would see ~0. Rows with containment_pm >= tau_pm
+    are returned (default 30%).
+
+    Scale shape: eval side is benchmark-sized → its (gram → eval doc) map
+    and per-doc gram totals BROADCAST; the corpus side explodes its
+    distinct grams into the broadcast join, so matched-gram rows (∝ actual
+    overlap, tiny) are all that reach the one real shuffle — the
+    groupBy(train key, eval key) pair count with map-side combine. The
+    train relation itself never reshuffles. All score math is integral —
+    cross-engine exact.
+    """
+    eg = (
+        eval_df.select(
+            F.col(eval_key).alias("_ek"),
+            tokens_col(F.col(text)).alias("_tk"),
+        )
+        .select("_ek", F.explode(ngram_hashes_from_tokens(F.col("_tk"), n)).alias("g"))
+    )
+    etot = eg.groupBy("_ek").agg(F.count("*").alias("_eval_grams"))
+    tg = spread(train).select(
+        F.col(key).alias("_k"),
+        tokens_col(F.col(text)).alias("_tk"),
+    ).select("_k", F.explode(ngram_hashes_from_tokens(F.col("_tk"), n)).alias("g"))
+    hits = (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("_k", "_ek")
+        .agg(F.count("*").alias("_hit_grams"))
+        .join(F.broadcast(etot), "_ek")
+    )
+    pm = F.expr("(1000000 * _hit_grams) div _eval_grams")
+    return (
+        hits.filter(pm >= int(tau_pm))
+        .select(
+            F.col("_k").alias(key),
+            F.col("_ek").alias(f"eval_{eval_key}"),
+            F.col("_hit_grams").alias("hit_grams"),
+            F.col("_eval_grams").alias("eval_grams"),
+            pm.alias("containment_pm"),
+        )
+    )
