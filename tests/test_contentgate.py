@@ -238,3 +238,20 @@ def test_domain_gate_isin_cap(spark):
     big = [f"d{i}.com" for i in range(10_001)]
     with _pytest.raises(ValueError):
         tag_domains(_frontier(spark, ["x.com"]), blacklist=big).collect()
+
+
+def test_domain_gate_empty_whitelist_blocks_all(spark):
+    """A configured-but-empty whitelist admits nobody — and behaves the
+    same whether it arrives as an empty sequence or an empty DataFrame."""
+    from webcrawler_spark.operators.domaingate import tag_domains
+
+    f = _frontier(spark, ["a.com", "b.org"])
+    seq = {r.host: r.domain_gate_status for r in tag_domains(f, whitelist=[]).collect()}
+    df_empty = spark.createDataFrame([], "domain string")
+    dfr = {r.host: r.domain_gate_status
+           for r in tag_domains(f, whitelist=df_empty).collect()}
+    want = {"a.com": "SKIPPED_DOMAIN_NOT_WHITELISTED",
+            "b.org": "SKIPPED_DOMAIN_NOT_WHITELISTED"}
+    assert seq == want and dfr == want
+    # an empty BLACKLIST is inert either way
+    assert {r.domain_gate_status for r in tag_domains(f, blacklist=[]).collect()} == {None}

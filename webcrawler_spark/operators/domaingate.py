@@ -85,7 +85,10 @@ def _membership(reg: Column, domains: Optional[DomainList], df: DataFrame,
         return out, F.coalesce(F.col(flag_name), F.lit(False))
     vals = _norm_seq(domains)
     if not vals:
-        return df, None
+        # a CONFIGURED-but-empty list: no domain is a member. For a
+        # whitelist that means admit nobody — consistent with an empty
+        # list DataFrame (0 broadcast rows -> every membership False).
+        return df, F.lit(False)
     if len(vals) > _ISIN_MAX:
         raise ValueError(
             f"{len(vals)} literal domains exceeds _ISIN_MAX={_ISIN_MAX}; "
