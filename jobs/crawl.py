@@ -57,6 +57,11 @@ def main() -> int:
         "table's crawl_delay_ms (requires --robots)",
     )
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument(
+        "--seen-filter", choices=["bloom", "cuckoo"], default=None,
+        help="url-seen sidecar strategy (cuckoo supports deletion); "
+        "--use-bloom is shorthand for --seen-filter bloom",
+    )
     ap.add_argument("--no-processor", action="store_true")
     ap.add_argument(
         "--stop-file", default=None,
@@ -170,6 +175,7 @@ def main() -> int:
             store=store,
             with_processor=not args.no_processor,
             use_bloom=args.use_bloom,
+            seen_filter=args.seen_filter,
             salt_threshold=args.salt_threshold,
             delays=delays_df,
         )
@@ -186,6 +192,7 @@ def main() -> int:
             store=store,
             with_processor=not args.no_processor,
             use_bloom=args.use_bloom,
+            seen_filter=args.seen_filter,
             stop=stop,
             resume=args.resume,
         )

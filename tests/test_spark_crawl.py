@@ -92,6 +92,19 @@ def test_bloom_path_identical_results(spark, pages_df, small_corpus):
     assert got == oracle.queue_order
 
 
+def test_cuckoo_path_identical_results(spark, pages_df, small_corpus):
+    """seen_filter='cuckoo' routes the dedup gate through the cuckoo
+    sidecar (build + per-round upsert + prefilter) — queue order must be
+    byte-identical to the exact-join reference order."""
+    cfg = CrawlConfig(max_depth=2)
+    oracle, result = _run_both(
+        spark, pages_df, small_corpus, cfg, with_processor=False,
+        seen_filter="cuckoo",
+    )
+    got = [r["url"] for r in result.queue.collect()]
+    assert got == oracle.queue_order
+
+
 def test_docs_match_oracle(spark, pages_df, small_corpus):
     cfg = CrawlConfig(
         max_depth=1,
@@ -323,6 +336,18 @@ def _run_both_polite(spark, pages_df, corpus, cfg, entry=None, robots=False, **k
     )
     result = run_polite_crawl(spark, pages_df, entry, cfg, robots=rob_df, **kw)
     return oracle, result
+
+
+def test_polite_cuckoo_path_identical(spark, tiny_pages_df, tiny_corpus):
+    """The polite scheduler with seen_filter='cuckoo': admission order and
+    the seen set must match the sequential oracle exactly (its sidecar
+    init/maintain sites are separate from run_crawl's)."""
+    cfg = CrawlConfig(max_depth=2, per_host_budget=2)
+    oracle, result = _run_both_polite(
+        spark, tiny_pages_df, tiny_corpus, cfg, seen_filter="cuckoo"
+    )
+    assert [r["url"] for r in result.queue.collect()] == oracle.queue_order
+    assert {r["url"] for r in result.seen.collect()} == oracle.seen
 
 
 def test_polite_store_commits_round_tables(spark, tiny_pages_df, tiny_corpus, tmp_path):
@@ -640,13 +665,17 @@ def test_bloom_sidecar_persisted_and_loaded_on_resume(
     assert m is not None and m.tables.get("bloom_sidecar") == 1
 
     calls = []
-    real_build = R.bloom_sidecar_build
+    import webcrawler_spark.operators.dedup as D
+
+    real_build = D.bloom_sidecar_build
 
     def build_spy(seen_df, *a, **k):
         calls.append(1)
         return real_build(seen_df, *a, **k)
 
-    monkeypatch.setattr(R, "bloom_sidecar_build", build_spy)
+    # seen_filter_ops resolves bloom_sidecar_build from the dedup module at
+    # call time, so patching the module intercepts both build and maintain
+    monkeypatch.setattr(D, "bloom_sidecar_build", build_spy)
     res = R.run_crawl(
         spark, pages_df, entry, cfg, store=store, resume=True, use_bloom=True
     )

@@ -276,6 +276,45 @@ def bloom_prefilter(
     return new, maybe
 
 
+class SeenFilterOps:
+    """The three operations a URL-seen approximate-membership sidecar needs
+    (north_star "Bloom/cuckoo"): ``build(seen)`` a fresh per-bucket filter
+    table, ``maintain(sidecar, delta)`` fold a round's new_seen delta in
+    incrementally, ``prefilter(candidates, sidecar, ...)`` split into
+    (definitely_new, maybe_seen). Both implementations share bucket layout,
+    hash columns, and the no-false-negative contract, so the crawl rounds
+    are strategy-agnostic."""
+
+    def __init__(self, kind: str, build, maintain, prefilter) -> None:
+        self.kind = kind
+        self.build = build
+        self.maintain = maintain
+        self.prefilter = prefilter
+
+
+def seen_filter_ops(kind: str) -> "SeenFilterOps":
+    """'bloom' (OR-mergeable bitsets, fastest build) or 'cuckoo'
+    (fingerprint table, supports deletion — operators/cuckoo.py)."""
+    if kind == "bloom":
+        return SeenFilterOps(
+            "bloom",
+            bloom_sidecar_build,
+            lambda side, delta: bloom_sidecar_merge(side, bloom_sidecar_build(delta)),
+            bloom_prefilter,
+        )
+    if kind == "cuckoo":
+        from .cuckoo import (
+            cuckoo_prefilter,
+            cuckoo_sidecar_build,
+            cuckoo_sidecar_upsert,
+        )
+
+        return SeenFilterOps(
+            "cuckoo", cuckoo_sidecar_build, cuckoo_sidecar_upsert, cuckoo_prefilter
+        )
+    raise ValueError(f"unknown seen filter kind {kind!r} (bloom | cuckoo)")
+
+
 def flag_seen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -283,6 +322,7 @@ def flag_seen(
     url_col: str = "url",
     n_buckets: int = 64,
     cache_registry: Optional[list] = None,
+    prefilter_fn=None,
 ) -> DataFrame:
     """The dedup gate as a FLAG instead of a filter: returns ``candidates``
     with an int ``_dup`` column (1 = url already in ``seen``). Keeping the
@@ -293,14 +333,16 @@ def flag_seen(
     construction — each url is enqueued at most once); a non-unique seen side
     would duplicate candidate rows through the left join.
 
-    With a ``sidecar``, bloom definite-no rows skip the join entirely and the
+    With a ``sidecar``, filter definite-no rows skip the join entirely and the
     maybe-residue takes the exact left join — same semantics, less shuffle.
+    ``prefilter_fn`` selects the probe (default bloom_prefilter; pass
+    cuckoo_prefilter via seen_filter_ops('cuckoo')).
     """
     marker = seen.select(url_col).withColumn("_dup", F.lit(1))
     if sidecar is None:
         j = candidates.join(marker, url_col, "left")
         return j.withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(0)))
-    new, maybe = bloom_prefilter(
+    new, maybe = (prefilter_fn or bloom_prefilter)(
         candidates, sidecar, url_col=url_col, n_buckets=n_buckets,
         cache_registry=cache_registry,
     )

@@ -76,9 +76,8 @@ from .functions import (
 from .kernel.urlnorm import normalize_url
 from .operators.dedup import (
     anti_join_new,
-    bloom_sidecar_build,
-    bloom_sidecar_merge,
     flag_seen,
+    seen_filter_ops,
 )
 from .operators.ordering import first_occurrence
 from .storage import Manifest, SnapshotStore
@@ -411,6 +410,7 @@ def run_crawl(
     store: Optional[SnapshotStore] = None,
     with_processor: bool = True,
     use_bloom: bool = False,
+    seen_filter: Optional[str] = None,
     crawl_ts: str = "2025-06-01 00:00:00",
     stop=None,
     resume: bool = False,
@@ -435,6 +435,9 @@ def run_crawl(
     every previously persisted per-round raw parse).
     """
     _t0 = time.monotonic()
+    # url-seen sidecar strategy: seen_filter ('bloom' | 'cuckoo') or the
+    # legacy use_bloom flag (== 'bloom'); None = exact joins only
+    _sf = seen_filter_ops(seen_filter or "bloom") if (seen_filter or use_bloom) else None
     _seed_marks: List[dict] = []
     traverse, n_seeds = _seed_frontier(spark, entry_url, ("rank",), timings=_seed_marks)
     if traverse is None:
@@ -562,15 +565,15 @@ def run_crawl(
                     spark, "lineage_ckpt", start_depth
                 ).collect()
             ]
-            if use_bloom and m.tables.get("bloom_sidecar") == start_depth:
+            if _sf is not None and m.tables.get(f"{_sf.kind}_sidecar") == start_depth:
                 # the stop path persisted the sidecar — load it instead of
                 # the O(|seen|) rebuild (at 10^10 seen URLs the rebuild is a
                 # full table pass before round 1); a legacy snapshot without
                 # the table falls through to the rebuild below
-                sidecar = store.read_table(spark, "bloom_sidecar", start_depth)
+                sidecar = store.read_table(spark, f"{_sf.kind}_sidecar", start_depth)
 
-    if use_bloom and sidecar is None:
-        sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
+    if _sf is not None and sidecar is None:
+        sidecar = _sf.build(seen).localCheckpoint(eager=True)
 
     stopped_at: Optional[int] = None
     for depth in range(start_depth, max_depth + 1):
@@ -625,7 +628,10 @@ def run_crawl(
         # join the previous round's background sidecar checkpoint here — it
         # has been overlapping with this round's parse job up to this point
         sidecar = _resolve_df(sidecar) if sidecar is not None else None
-        flagged = flag_seen(first, seen, sidecar=sidecar, cache_registry=round_caches)
+        flagged = flag_seen(
+            first, seen, sidecar=sidecar, cache_registry=round_caches,
+            prefilter_fn=_sf.prefilter if _sf is not None else None,
+        )
         if with_processor:
             flagged = flagged.withColumn("_vis", F.col("_dup"))
         else:
@@ -752,11 +758,12 @@ def run_crawl(
         )
         seen = seen.unionByName(new_seen)
         queue_size += n_new
-        if use_bloom:
-            # the delta build + merge checkpoint runs on a BACKGROUND thread:
+        if _sf is not None:
+            # the delta maintenance + checkpoint runs on a BACKGROUND thread:
             # the next round resolves it right before flag_seen, so it
-            # overlaps with the next round's parse job (_AsyncDF)
-            merged = bloom_sidecar_merge(sidecar, bloom_sidecar_build(new_seen))
+            # overlaps with the next round's parse job (_AsyncDF). bloom:
+            # OR-merge of the delta's bitsets; cuckoo: in-place upsert.
+            merged = _sf.maintain(sidecar, new_seen)
             sidecar = _AsyncDF(lambda m=merged: m.localCheckpoint(eager=True))
 
         if depth < max_depth:
@@ -820,11 +827,13 @@ def run_crawl(
                 stopped_at,
             )
             m = store.load_manifest() or Manifest()
-            if use_bloom and sidecar is not None:
-                # persist the sidecar so resume loads ~n_buckets bloom rows
+            if _sf is not None and sidecar is not None:
+                # persist the sidecar so resume loads ~n_buckets filter rows
                 # instead of rebuilding from the full seen table
-                store.write_table(_resolve_df(sidecar), "bloom_sidecar", stopped_at)
-                m.tables["bloom_sidecar"] = stopped_at
+                store.write_table(
+                    _resolve_df(sidecar), f"{_sf.kind}_sidecar", stopped_at
+                )
+                m.tables[f"{_sf.kind}_sidecar"] = stopped_at
             m.committed_round = stopped_at - 1
             m.tables["url_seen"] = stopped_at
             m.meta["stopped_next_depth"] = stopped_at
@@ -1457,6 +1466,7 @@ def run_polite_crawl(
     store: Optional[SnapshotStore] = None,
     with_processor: bool = True,
     use_bloom: bool = False,
+    seen_filter: Optional[str] = None,
     salt_threshold: Optional[int] = None,
     n_salts: int = 16,
     delays: Optional[DataFrame] = None,
@@ -1537,9 +1547,10 @@ def run_polite_crawl(
     queue_size = n_seeds
     discovered = n_seeds
 
+    _sf = seen_filter_ops(seen_filter or "bloom") if (seen_filter or use_bloom) else None
     sidecar = None
-    if use_bloom:
-        sidecar = bloom_sidecar_build(seen).localCheckpoint(eager=True)
+    if _sf is not None:
+        sidecar = _sf.build(seen).localCheckpoint(eager=True)
 
     extract_fn, _ = make_extract_pages(config, carry_cols=["grank", "depth"])
     extract_out = extract_schema_with(
@@ -1667,7 +1678,10 @@ def run_polite_crawl(
         # join the previous round's background sidecar checkpoint here — it
         # has been overlapping with this round's parse job up to this point
         sidecar = _resolve_df(sidecar) if sidecar is not None else None
-        flagged = flag_seen(first, seen, sidecar=sidecar, cache_registry=round_caches)
+        flagged = flag_seen(
+            first, seen, sidecar=sidecar, cache_registry=round_caches,
+            prefilter_fn=_sf.prefilter if _sf is not None else None,
+        )
         vm = visited.select("url").withColumn("_v", F.lit(1))
         flagged = (
             flagged.join(vm, "url", "left")
@@ -1816,10 +1830,10 @@ def run_polite_crawl(
         )
         seen = seen.unionByName(new_seen)
         queue_size += n_new
-        if use_bloom:
-            # delta build + merge checkpoint on a BACKGROUND thread; the next
+        if _sf is not None:
+            # delta maintenance + checkpoint on a BACKGROUND thread; the next
             # round joins it right before flag_seen (overlaps the parse job)
-            merged = bloom_sidecar_merge(sidecar, bloom_sidecar_build(new_seen))
+            merged = _sf.maintain(sidecar, new_seen)
             sidecar = _AsyncDF(lambda m=merged: m.localCheckpoint(eager=True))
 
         traverse_next = round_tbl.filter(F.col("grank").isNotNull()).select(
