@@ -362,3 +362,87 @@ def test_robots_cache_states_boundaries(spark):
         "expired.com": ("EXPIRED", True),
         "missing.com": ("MISSING", True),
     }
+
+
+def test_recrawl_job_diff_schedule_and_cuckoo_eviction(spark, tmp_path):
+    """jobs/recrawl.py end-to-end: NEW -> MODIFIED/NOT_MODIFIED/GONE
+    classification across passes, bounded history + adaptive schedule, and
+    --evict deleting due urls from url_seen AND the cuckoo sidecar in
+    place (the deletion capability doing its real job)."""
+    from jobs.recrawl import run as recrawl_run
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.operators.cuckoo import cuckoo_prefilter
+    from webcrawler_spark.rounds import run_crawl
+    from webcrawler_spark.storage import SnapshotStore
+    from pyspark.sql import functions as F
+
+    corpus = generate_corpus(seed=7, n_hosts=6, n_pages=80)
+    pages = spark.createDataFrame(corpus.rows())
+    state = str(tmp_path / "state")
+
+    # a stopped cuckoo crawl persists url_seen + cuckoo_sidecar
+    stops = iter([False, True, True, True])
+    res = run_crawl(
+        spark, pages, corpus.seeds[0], CrawlConfig(max_depth=2),
+        store=SnapshotStore(state), seen_filter="cuckoo",
+        stop=lambda: next(stops), with_processor=False,
+    )
+    assert res.stopped
+    store = SnapshotStore(state)
+    m = store.load_manifest()
+    assert "cuckoo_sidecar" in m.tables and "url_seen" in m.tables
+
+    snap1 = str(tmp_path / "snap1")
+    pages.write.parquet(snap1)
+    s1 = recrawl_run(spark, snap1, state, now="2025-06-01 00:00:00")
+    assert s1["new"] > 0 and s1["modified"] == s1["gone"] == 0
+
+    # second snapshot: every 3rd url's bytes change, one url disappears
+    all_urls = sorted(corpus.pages)
+    changed = set(all_urls[::3])
+    gone_url = all_urls[-1]
+    snap2_df = pages.filter(F.col("url") != gone_url).withColumn(
+        "html",
+        F.when(F.col("url").isin(list(changed)),
+               F.concat(F.col("html"), F.lit(b"<!--rev2-->")))
+        .otherwise(F.col("html")),
+    )
+    snap2 = str(tmp_path / "snap2")
+    snap2_df.write.parquet(snap2)
+
+    # pass 2 with eviction; horizon 1.2h catches only the just-modified
+    # urls (next = now + 1h) and not the stable ones (next = now + 2h)
+    seen_before = {
+        r.url for r in store.read_committed(spark, "url_seen").collect()
+    }
+    s2 = recrawl_run(
+        spark, snap2, state, now="2025-06-01 02:00:00",
+        horizon_ms=int(1.2 * 3_600_000), evict=True,
+    )
+    assert s2["gone"] == 1
+    assert s2["modified"] == len(changed) - (1 if gone_url in changed else 0)
+    assert s2["new"] == 0
+    # every url in snapshot 2 is exactly one of modified / not_modified
+    assert s2["modified"] + s2["not_modified"] == len(all_urls) - 1
+    assert s2["sidecar"] == "cuckoo_deleted_in_place"
+    assert s2["evicted_from_seen"] == len(seen_before & changed)
+
+    # url_seen shrank by exactly the evicted urls
+    seen_after = {
+        r.url for r in store.read_committed(spark, "url_seen").collect()
+    }
+    assert seen_before - seen_after == seen_before & changed
+
+    # the updated sidecar answers definite-new for evicted urls and still
+    # has no false negatives for the kept ones
+    m2 = store.load_manifest()
+    side = store.read_table(spark, "cuckoo_sidecar", m2.tables["cuckoo_sidecar"])
+    evicted_df = spark.createDataFrame(
+        [(u,) for u in sorted(seen_before & changed)], "url string"
+    )
+    new, maybe = cuckoo_prefilter(evicted_df, side)
+    assert maybe.count() == 0 and new.count() == len(seen_before & changed)
+    kept_df = spark.createDataFrame([(u,) for u in sorted(seen_after)], "url string")
+    n2, m2_ = cuckoo_prefilter(kept_df, side)
+    assert n2.count() == 0
