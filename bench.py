@@ -89,6 +89,8 @@ HEADLINE = [
     "crawl_content_gate",
     "domain_gate",
     "f1_dedup_cuckoo",
+    "robots_cache_ttl",
+    "decontaminate_containment",
 ]
 
 
