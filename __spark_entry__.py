@@ -3981,6 +3981,39 @@ from m
 """
 
 
+def q_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain quality priors (textstats.domain_quality_priors)
+    — the RefinedWeb/CCNet-style domain filter signal. 37 synthetic
+    registrable domains; every 5th doc arrives from a cdn. subdomain that
+    must fall with its registrant. Integer means/tiers; thresholds 6700/7100
+    split the sf-corpus domains into all three tiers."""
+    from webcrawler_spark.pipeline.textstats import domain_quality_priors
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.lit("site"), (F.col("doc_id") % 37).cast("string"), F.lit(".net"),
+    )
+    return domain_quality_priors(d.withColumn("host", host))
+
+
+_DOMAIN_PRIOR_SQL = f"""
+with q as (
+  select doc_id, quality_e4 from ({_QUALITY_SQL})),
+keyed as (
+  select 'site' || (doc_id % 37) || '.net' as domain, quality_e4 from q)
+select domain,
+       count(*)::bigint as n_docs,
+       sum(quality_e4)::bigint as sum_quality_e4,
+       (sum(quality_e4) // count(*))::bigint as mean_quality_e4,
+       ((1000 * sum((quality_e4 < 7000)::int)) // count(*))::bigint as low_pm,
+       case when sum(quality_e4) // count(*) >= 7100 then 'GOOD'
+            when sum(quality_e4) // count(*) >= 6700 then 'MIXED'
+            else 'LOW' end as tier
+from keyed group by domain
+"""
+
+
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global quality-score deciles WITHOUT a global sort
     (sampling.quantile_buckets): ntile-over-score is a single-task total
@@ -4964,10 +4997,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # + sitemap_seeds all stay).  Round-5 rotation: the full set of keys still
 # without a driver row after this round's window is (assuming r4 comes back
 # green): domain_gate, f1_dedup_cuckoo, cuckoo_delete_readmit,
-# robots_cache_ttl, decontaminate_containment, mixture_temperature,
-# seq_pack, lang_ppl_buckets, text_bigram_lp, winnow_pairs,
-# robots_sitemap_chain — put those eleven in positions 1-11,
-# previously-green keys after.
+# robots_cache_ttl, decontaminate_containment, domain_quality_prior,
+# mixture_temperature, seq_pack, lang_ppl_buckets, text_bigram_lp,
+# winnow_pairs, robots_sitemap_chain — put those twelve in positions
+# 1-12, previously-green keys after.
 _DRIVER_WINDOW_R4 = [
     # new in round 4 (VERDICT tasks 3/4/5: search snippets, content-type +
     # size gate, validator-aware conditional recrawl)
@@ -5097,6 +5130,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "text_quality": q_text_quality,
         "quality_deciles": q_quality_deciles,
+        "domain_quality_prior": q_domain_quality_prior,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprints": q_winnow_fps,
@@ -5228,6 +5262,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": _WARC_SQL,
         "text_quality": _QUALITY_SQL,
         "quality_deciles": _QUALITY_DECILES_SQL,
+        "domain_quality_prior": _DOMAIN_PRIOR_SQL,
         "text_langid": _langid_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,

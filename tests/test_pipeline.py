@@ -1432,3 +1432,29 @@ def test_frame_dupes_cross_video(spark):
         assert r["keep_id"] == 1 and r["keep_idx"] in (0, 50)
     # unique payload never flagged
     assert all(r["keep_id"] != 2 for r in dupes)
+
+
+def test_domain_quality_priors_tiers_and_subdomain_collapse(spark):
+    """Per-domain priors: integer mean/tier math, and cdn.X falls with its
+    registrant X (textstats.domain_quality_priors)."""
+    from webcrawler_spark.pipeline.textstats import domain_quality_priors
+
+    rich = "the quick brown fox jumps over the lazy dog and it is a fine day " * 5
+    poor = "zzz !!!! ???? ;;;" * 3
+    rows = [
+        ("good.net", rich), ("cdn.good.net", rich),
+        ("bad.net", poor), ("bad.net", poor),
+        ("mix.net", rich), ("mix.net", poor),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    out = {r.domain: r for r in domain_quality_priors(
+        df, low_mean_e4=4000, good_mean_e4=6500
+    ).collect()}
+    assert set(out) == {"good.net", "bad.net", "mix.net"}
+    assert out["good.net"].n_docs == 2          # subdomain collapsed
+    assert out["good.net"].tier == "GOOD"
+    assert out["bad.net"].tier == "LOW"
+    assert out["mix.net"].tier == "MIXED"
+    for r in out.values():                       # integer identities hold
+        assert r.mean_quality_e4 == r.sum_quality_e4 // r.n_docs
+        assert 0 <= r.low_pm <= 1000

@@ -482,3 +482,59 @@ def char_entropy(
         F.size(uniq).cast("long").alias("distinct_chars"),
         F.when(n > 0, F.round(ent, decimals)).otherwise(0.0).alias("entropy_bits"),
     )
+
+
+def domain_quality_priors(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    low_doc_e4: int = 7000,
+    low_mean_e4: int = 6700,
+    good_mean_e4: int = 7100,
+) -> DataFrame:
+    """Per-registrable-domain quality priors — the domain-level filtering
+    signal web curations actually apply before any per-document model
+    (RefinedWeb/CCNet drop or downweight whole domains; crawl frontiers
+    reuse the same prior to spend budget on domains that historically yield
+    keepable text). Aggregates the per-doc heuristic quality score
+    (:func:`with_quality`) per registrable domain
+    (functions.registrable_domain — subdomains fall with their registrant):
+
+    Returns (domain, n_docs, sum_quality_e4, mean_quality_e4, low_pm,
+    tier): mean is the integer e4 mean (sum div n), ``low_pm`` the
+    per-mille share of docs scoring under ``low_doc_e4``, and ``tier``
+    GOOD / MIXED / LOW by integer thresholds on the mean — every number is
+    integral, so the output is bit-stable across engines and retries.
+
+    Scale: one narrow per-row score map (zero shuffle) + ONE domain-keyed
+    aggregate with map-side combine; domains are the web's small dimension
+    (~10^7) so the result is broadcast-joinable back onto a frontier as an
+    admission prior.
+    """
+    from ..functions import registrable_domain
+
+    scored = with_quality(df, text_col=text_col, decimals=None)
+    e4 = F.round(F.col("quality_score") * 10000).cast("long")
+    keyed = scored.select(
+        registrable_domain(F.lower(F.col(host_col))).alias("domain"),
+        e4.alias("_e4"),
+    )
+    agg = keyed.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_e4").alias("sum_quality_e4"),
+        F.sum((F.col("_e4") < int(low_doc_e4)).cast("long")).alias("_n_low"),
+    )
+    mean = F.expr("sum_quality_e4 div n_docs")
+    tier = (
+        F.when(mean >= int(good_mean_e4), F.lit("GOOD"))
+        .when(mean >= int(low_mean_e4), F.lit("MIXED"))
+        .otherwise(F.lit("LOW"))
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "sum_quality_e4",
+        mean.alias("mean_quality_e4"),
+        F.expr("(1000 * _n_low) div n_docs").alias("low_pm"),
+        tier.alias("tier"),
+    )
