@@ -364,6 +364,7 @@ def test_robots_cache_states_boundaries(spark):
     }
 
 
+@pytest.mark.slow
 def test_recrawl_job_diff_schedule_and_cuckoo_eviction(spark, tmp_path):
     """jobs/recrawl.py end-to-end: NEW -> MODIFIED/NOT_MODIFIED/GONE
     classification across passes, bounded history + adaptive schedule, and

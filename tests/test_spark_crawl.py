@@ -92,13 +92,14 @@ def test_bloom_path_identical_results(spark, pages_df, small_corpus):
     assert got == oracle.queue_order
 
 
-def test_cuckoo_path_identical_results(spark, pages_df, small_corpus):
+def test_cuckoo_path_identical_results(spark, tiny_pages_df, tiny_corpus):
     """seen_filter='cuckoo' routes the dedup gate through the cuckoo
     sidecar (build + per-round upsert + prefilter) — queue order must be
-    byte-identical to the exact-join reference order."""
+    byte-identical to the exact-join reference order. Tiny corpus keeps
+    this in the fast gate; the polite-path twin is slow-marked."""
     cfg = CrawlConfig(max_depth=2)
     oracle, result = _run_both(
-        spark, pages_df, small_corpus, cfg, with_processor=False,
+        spark, tiny_pages_df, tiny_corpus, cfg, with_processor=False,
         seen_filter="cuckoo",
     )
     got = [r["url"] for r in result.queue.collect()]
@@ -338,6 +339,7 @@ def _run_both_polite(spark, pages_df, corpus, cfg, entry=None, robots=False, **k
     return oracle, result
 
 
+@pytest.mark.slow
 def test_polite_cuckoo_path_identical(spark, tiny_pages_df, tiny_corpus):
     """The polite scheduler with seen_filter='cuckoo': admission order and
     the seen set must match the sequential oracle exactly (its sidecar
