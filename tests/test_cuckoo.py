@@ -142,6 +142,76 @@ def test_build_deterministic_across_partitioning(spark):
     seen = _seen(spark, 0, 3000)
     a = cuckoo_sidecar_build(seen.repartition(2), n_buckets=4, m_buckets=1 << 11)
     b = cuckoo_sidecar_build(seen.repartition(17), n_buckets=4, m_buckets=1 << 11)
-    ra = {r.bucket: bytes(r.table) for r in a.collect()}
-    rb = {r.bucket: bytes(r.table) for r in b.collect()}
+    ra = {r.bucket: tuple(bytes(t) for t in r.tables) for r in a.collect()}
+    rb = {r.bucket: tuple(bytes(t) for t in r.tables) for r in b.collect()}
     assert ra == rb
+
+
+# ---------------------------------------------------------------------------
+# chained growth (hot-bucket skew: the sidecar grows instead of aborting)
+
+
+def test_chain_grows_past_single_table_capacity():
+    from webcrawler_spark.operators.cuckoo import (
+        chain_contains_hashed,
+        chain_delete_hashed,
+        chain_insert_hashed,
+    )
+
+    # 3000 keys into a 128-bucket (512-slot) first table: must chain
+    h1, h2 = _hashes(3000, 21)
+    chain = [cuckoo_new(1 << 7)]
+    assert chain_insert_hashed(chain, h1, h2) == 3000
+    assert len(chain) >= 2                      # grew
+    assert chain[1].shape[0] == 2 * chain[0].shape[0]   # doubled
+    assert chain_contains_hashed(chain, h1, h2).all()   # no false negatives
+    g1, g2 = _hashes(50_000, 22)
+    assert chain_contains_hashed(chain, g1, g2).mean() < 0.02
+    # delete across sub-filters: every key removable exactly once
+    assert chain_delete_hashed(chain, h1, h2).all()
+    assert not chain_contains_hashed(chain, h1, h2).any() or \
+        chain_contains_hashed(chain, h1, h2).mean() < 0.02
+
+
+def test_chain_bytes_order_independent():
+    from webcrawler_spark.operators.cuckoo import chain_insert_hashed, _to_bytes
+
+    h1, h2 = _hashes(2000, 31)
+    perm = np.random.default_rng(2).permutation(2000)
+    a, b = [cuckoo_new(1 << 7)], [cuckoo_new(1 << 7)]
+    chain_insert_hashed(a, h1, h2)
+    chain_insert_hashed(b, h1[perm], h2[perm])
+    assert [_to_bytes(t) for t in a] == [_to_bytes(t) for t in b]
+
+
+def test_try_insert_failure_leaves_table_unchanged():
+    from webcrawler_spark.operators.cuckoo import _to_bytes, cuckoo_insert_hashed
+
+    h1, h2 = _hashes(480, 41)  # 93.75% of a 128-bucket table: fits
+    t = cuckoo_new(1 << 7)
+    cuckoo_insert_hashed(t, h1, h2)
+    before = _to_bytes(t)
+    g1, g2 = _hashes(200, 42)
+    with pytest.raises(ValueError, match="full"):
+        cuckoo_insert_hashed(t, g1, g2)
+    # the failing insert undid its displacement path: members still present
+    assert cuckoo_maybe_contains_hashed(t, h1, h2).all()
+    # and nothing about the failed key's walk is left behind beyond the
+    # keys that DID fit before the failure point
+    assert len(_to_bytes(t)) == len(before)
+
+
+def test_distributed_upsert_grows_hot_bucket(spark):
+    """A hot bucket (everything hashes to few buckets) upserted past the
+    base capacity chains instead of raising — the 4M-page bench failure
+    mode, reproduced small."""
+    base = _seen(spark, 0, 400)
+    side0 = cuckoo_sidecar_build(base, n_buckets=2, m_buckets=1 << 6)
+    delta = _seen(spark, 400, 1600)
+    side1 = cuckoo_sidecar_upsert(side0, delta, n_buckets=2, m_buckets=1 << 6)
+    rows = side1.collect()
+    assert sum(r.n_keys for r in rows) == 1600
+    assert any(len(r.tables) > 1 for r in rows)         # chained
+    allk = _seen(spark, 0, 1600)
+    new, maybe = cuckoo_prefilter(allk.select("url", "host_hash"), side1, n_buckets=2)
+    assert new.count() == 0 and maybe.count() == 1600   # no false negatives

@@ -32,6 +32,16 @@ pure function of the key set, independent of arrow batching or task
 placement. Duplicate (h1, h2) pairs collapse before insert (the seen set is
 a set; multiset duplicates would burn slots and break delete-once).
 
+Capacity under skew: a fixed-size cuckoo filter ABORTS when a bucket's
+keys exceed ~95% of its slots — and a Zipf-hot host-hash bucket will (a
+4M-page bench crawl hit this at 89% load on the hottest of 64 buckets).
+The sidecar therefore stores a CHAIN of sub-filters per bucket
+(RedisBloom's scalable-filter pattern): inserts go to the newest
+sub-filter, a full one is sealed and a double-size successor appended,
+membership ORs the chain, deletes probe oldest→newest. Growth points are
+deterministic (sorted insert + undo-on-fail displacement), so chain bytes
+remain a pure function of the key set.
+
 Deletion contract (standard cuckoo-filter caveat, stated honestly): only
 delete keys that were inserted. Deleting removes ONE copy of the
 fingerprint from the key's buckets; deleting a never-inserted key can strip
@@ -64,6 +74,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -111,45 +122,52 @@ def cuckoo_new(m_buckets: int) -> np.ndarray:
     return np.zeros((m_buckets, SLOTS), dtype=np.uint16)
 
 
-def cuckoo_insert_hashed(table: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> int:
-    """Insert the (deduped, sorted) key set into ``table`` in place; returns
-    the number of fingerprints stored. Raises when the displacement bound is
-    hit — the filter is over capacity and the caller must size ``m_buckets``
-    for its bucket's key count (≤ ~0.95·4·m per the paper)."""
+def _try_insert(table: np.ndarray, f: int, i1: int) -> bool:
+    """Insert one fingerprint with the deterministic round-robin kick walk.
+    Returns False — with the table UNCHANGED (the displacement path is
+    undone) — when MAX_KICKS is hit, so a full table never silently drops a
+    displaced victim (that would be a false negative)."""
     m = table.shape[0]
     mask = m - 1
     mul = int(_FP_MUL)
+    cur_f, cur_i = int(f), int(i1)
+    path = []  # (bucket, slot, previous value) per eviction, for undo
+    for kick in range(MAX_KICKS):
+        row = table[cur_i]
+        empty = np.flatnonzero(row == 0)
+        if empty.size:
+            row[empty[0]] = cur_f
+            return True
+        if kick == 0:
+            alt = (cur_i ^ (cur_f * mul)) & mask
+            row2 = table[alt]
+            empty2 = np.flatnonzero(row2 == 0)
+            if empty2.size:
+                row2[empty2[0]] = cur_f
+                return True
+        slot = kick % SLOTS
+        victim = int(row[slot])
+        path.append((cur_i, slot, victim))
+        row[slot] = cur_f
+        cur_f = victim
+        cur_i = (cur_i ^ (cur_f * mul)) & mask
+    for b, s, old in reversed(path):
+        table[b][s] = old
+    return False
+
+
+def cuckoo_insert_hashed(table: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> int:
+    """Insert the (deduped, sorted) key set into ``table`` in place; returns
+    the number of fingerprints stored. Raises when the displacement bound is
+    hit — single-table form; the engine's distributed sidecar uses the
+    CHAIN form below, which grows instead of failing."""
+    m = table.shape[0]
     u1, u2 = _dedup_sort(h1, h2)
     fs = _fingerprints(u2)
     i1s = _i1(u1, m)
-    # the alternate bucket of every key, vectorized once; inside the kick
-    # loop the hash is plain int arithmetic (no per-iteration array churn)
     stored = 0
     for f, i in zip(fs.tolist(), i1s.tolist()):
-        cur_f, cur_i = int(f), int(i)
-        placed = False
-        for kick in range(MAX_KICKS):
-            row = table[cur_i]
-            empty = np.flatnonzero(row == 0)
-            if empty.size:
-                row[empty[0]] = cur_f
-                placed = True
-                break
-            if kick == 0:
-                row2 = table[(cur_i ^ (cur_f * mul)) & mask]
-                empty2 = np.flatnonzero(row2 == 0)
-                if empty2.size:
-                    row2[empty2[0]] = cur_f
-                    placed = True
-                    break
-            # deterministic eviction: round-robin victim slot, swap, move to
-            # the victim's alternate bucket
-            slot = kick % SLOTS
-            victim = int(row[slot])
-            row[slot] = cur_f
-            cur_f = victim
-            cur_i = (cur_i ^ (cur_f * mul)) & mask
-        if not placed:
+        if not _try_insert(table, f, i):
             raise ValueError(
                 f"cuckoo filter full after {MAX_KICKS} kicks "
                 f"(m_buckets={m}, stored={stored}); size m_buckets for the "
@@ -157,6 +175,69 @@ def cuckoo_insert_hashed(table: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> i
             )
         stored += 1
     return stored
+
+
+def chain_insert_hashed(tables: list, h1: np.ndarray, h2: np.ndarray) -> int:
+    """Insert into a CHAINED filter (RedisBloom-style scaling): keys go to
+    the newest sub-filter; when its displacement bound is hit the chain
+    appends a fresh sub-filter of DOUBLE size and the key (whose insert
+    left the full table untouched — see :func:`_try_insert`) lands there.
+    Mutates ``tables`` (a list of per-sub-filter arrays) in place, possibly
+    appending; returns fingerprints stored. Deterministic: growth points
+    are a pure function of the sorted key sequence, so chain bytes stay a
+    pure function of the key set.
+
+    This is what makes the sidecar safe under hot-bucket skew at frontier
+    scale: a Zipf-hot host-hash bucket grows its chain instead of aborting
+    the crawl (found by a 4M-page bench run at 89% bucket load)."""
+    assert tables, "chain must start with at least one sub-filter"
+    u1, u2 = _dedup_sort(h1, h2)
+    fs = _fingerprints(u2)
+    for f, hh1 in zip(fs.tolist(), u1.tolist()):
+        last = tables[-1]
+        i1 = int(np.int64(hh1).view(np.uint64) & np.uint64(last.shape[0] - 1))
+        if not _try_insert(last, f, i1):
+            grown = cuckoo_new(last.shape[0] * 2)
+            tables.append(grown)
+            gi1 = int(np.int64(hh1).view(np.uint64) & np.uint64(grown.shape[0] - 1))
+            assert _try_insert(grown, f, gi1)  # fresh table: always fits
+    return len(fs)
+
+
+def chain_contains_hashed(tables: list, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Membership across the chain: OR of each sub-filter's vectorized
+    probe. No false negatives for inserted-and-not-deleted keys."""
+    if not len(h1):
+        return np.zeros(0, dtype=bool)
+    out = np.zeros(len(h1), dtype=bool)
+    for t in tables:
+        out |= cuckoo_maybe_contains_hashed(t, h1, h2)
+    return out
+
+
+def chain_delete_hashed(tables: list, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Delete ONE stored copy per key, probing sub-filters oldest→newest
+    (insertion order). Returns the per-unique-key deleted mask."""
+    mul = int(_FP_MUL)
+    u1, u2 = _dedup_sort(h1, h2)
+    fs = _fingerprints(u2)
+    out = np.zeros(len(fs), dtype=bool)
+    for k, (f, hh1) in enumerate(zip(fs.tolist(), u1.tolist())):
+        for t in tables:
+            m = t.shape[0]
+            i1 = int(np.int64(hh1).view(np.uint64) & np.uint64(m - 1))
+            done = False
+            for b in (i1, (i1 ^ (int(f) * mul)) & (m - 1)):
+                row = t[b]
+                hits = np.flatnonzero(row == f)
+                if hits.size:
+                    row[hits[0]] = 0
+                    out[k] = True
+                    done = True
+                    break
+            if done:
+                break
+    return out
 
 
 def cuckoo_maybe_contains_hashed(
@@ -216,10 +297,20 @@ CUCKOO_SCHEMA = StructType(
     [
         StructField("bucket", IntegerType()),
         StructField("m_buckets", LongType()),
-        StructField("table", BinaryType()),
+        StructField("tables", ArrayType(BinaryType())),
         StructField("n_keys", LongType()),
     ]
 )
+
+
+def _chain_to_bytes(tables: list) -> list:
+    return [_to_bytes(t) for t in tables]
+
+
+def _chain_from_bytes(blobs) -> list:
+    # each sub-filter's m is implied by its byte length (m·SLOTS·2 bytes),
+    # so the chain needs no per-table metadata
+    return [_from_bytes(bytes(b)) for b in blobs]
 
 
 def cuckoo_sidecar_build(
@@ -229,11 +320,13 @@ def cuckoo_sidecar_build(
     url_col: str = "url",
     host_hash_col: str = "host_hash",
 ) -> DataFrame:
-    """Per-host_hash-bucket cuckoo filters from a url_seen table (or a
-    round's delta — see :func:`cuckoo_sidecar_upsert`). Only (bucket, h1,
-    h2) int64 columns cross into Python. Each partition accumulates its
-    bucket's full hash set first so the sorted-insert determinism holds
-    across arrow batch boundaries."""
+    """Per-host_hash-bucket CHAINED cuckoo filters from a url_seen table
+    (or a round's delta — see :func:`cuckoo_sidecar_upsert`). ``m_buckets``
+    sizes the first sub-filter only: a bucket whose key count outgrows it
+    (hot-host Zipf skew) chains doubled sub-filters instead of failing.
+    Only (bucket, h1, h2) int64 columns cross into Python. Each partition
+    accumulates its bucket's full hash set first so the sorted-insert
+    determinism holds across arrow batch boundaries."""
     h1, h2 = bloom_hash_cols(F.col(url_col))
 
     def build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,14 +341,14 @@ def cuckoo_sidecar_build(
         if acc:
             rows = []
             for b, chunks in acc.items():
-                t = cuckoo_new(m_buckets)
-                n = cuckoo_insert_hashed(
-                    t,
+                chain = [cuckoo_new(m_buckets)]
+                n = chain_insert_hashed(
+                    chain,
                     np.concatenate([c[0] for c in chunks]),
                     np.concatenate([c[1] for c in chunks]),
                 )
-                rows.append((b, m_buckets, _to_bytes(t), n))
-            yield pd.DataFrame(rows, columns=["bucket", "m_buckets", "table", "n_keys"])
+                rows.append((b, m_buckets, _chain_to_bytes(chain), n))
+            yield pd.DataFrame(rows, columns=["bucket", "m_buckets", "tables", "n_keys"])
 
     hashed = seen.select(
         bucket_col(F.col(host_hash_col), n_buckets).alias("_bucket"),
@@ -289,7 +382,7 @@ def _apply_per_bucket(
     through untouched; keys with no filter row get a fresh
     ``m_buckets_default`` table (upsert) or are no-ops (delete)."""
 
-    cols = ["bucket", "m_buckets", "table", "n_keys"]
+    cols = ["bucket", "m_buckets", "tables", "n_keys"]
 
     def fold(key, side_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
         if keys_pdf.empty:
@@ -298,17 +391,19 @@ def _apply_per_bucket(
         if side_pdf.empty:
             if op == "delete":
                 return pd.DataFrame(columns=cols)
-            m, t, n = m_buckets_default, cuckoo_new(m_buckets_default), 0
+            m, chain, n = m_buckets_default, [cuckoo_new(m_buckets_default)], 0
         else:
             row = side_pdf.iloc[0]
-            m, t, n = int(row["m_buckets"]), _from_bytes(row["table"]), int(row["n_keys"])
+            m = int(row["m_buckets"])
+            chain = _chain_from_bytes(row["tables"])
+            n = int(row["n_keys"])
         h1 = keys_pdf["_h1"].to_numpy(np.int64)
         h2 = keys_pdf["_h2"].to_numpy(np.int64)
         if op == "upsert":
-            n += cuckoo_insert_hashed(t, h1, h2)
+            n += chain_insert_hashed(chain, h1, h2)
         else:
-            n -= int(cuckoo_delete_hashed(t, h1, h2).sum())
-        return pd.DataFrame([(bucket, m, _to_bytes(t), n)], columns=cols)
+            n -= int(chain_delete_hashed(chain, h1, h2).sum())
+        return pd.DataFrame([(bucket, m, _chain_to_bytes(chain), n)], columns=cols)
 
     return (
         sidecar.groupBy("bucket")
@@ -386,9 +481,11 @@ def cuckoo_prefilter(
         if side_pdf.empty:
             maybe = np.zeros(len(cand_pdf), dtype=bool)
         else:
-            t = _from_bytes(side_pdf.iloc[0]["table"])
-            maybe = cuckoo_maybe_contains_hashed(
-                t, cand_pdf["_h1"].to_numpy(np.int64), cand_pdf["_h2"].to_numpy(np.int64)
+            chain = _chain_from_bytes(side_pdf.iloc[0]["tables"])
+            maybe = chain_contains_hashed(
+                chain,
+                cand_pdf["_h1"].to_numpy(np.int64),
+                cand_pdf["_h2"].to_numpy(np.int64),
             )
         out = cand_pdf[carry].copy()
         out["_maybe"] = maybe.astype("int32")
