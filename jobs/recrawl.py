@@ -131,9 +131,12 @@ def run(spark, pages_path: str, state_dir: str, now: str,
             cv = m.tables["cuckoo_sidecar"]
             side = store.read_table(spark, "cuckoo_sidecar", cv)
             # deletion contract: only keys that were inserted — the due list
-            # intersected with seen satisfies it by construction
+            # intersected with seen satisfies it by construction. kept= hands
+            # the exact surviving rows over so the chain-collision repair
+            # re-inserts any collaterally stripped fingerprint (no false
+            # negatives survive the eviction — cuckoo.py module docstring)
             side2 = cuckoo_sidecar_delete(
-                side, seen.join(due, "url", "left_semi")
+                side, seen.join(due, "url", "left_semi"), kept=kept
             )
             store.write_table(side2, "cuckoo_sidecar", cv + 1)
             m.tables["cuckoo_sidecar"] = cv + 1

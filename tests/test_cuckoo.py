@@ -215,3 +215,39 @@ def test_distributed_upsert_grows_hot_bucket(spark):
     allk = _seen(spark, 0, 1600)
     new, maybe = cuckoo_prefilter(allk.select("url", "host_hash"), side1, n_buckets=2)
     assert new.count() == 0 and maybe.count() == 1600   # no false negatives
+
+
+def test_chain_reinsert_missing_repairs_collateral_strips():
+    """The chained-delete collision repair (ADVICE r4 low): simulate a
+    collateral strip — a kept key's only copy removed by a colliding
+    delete — and verify chain_reinsert_missing restores membership for
+    every surviving key while leaving genuinely-deleted keys to the safe
+    false-positive path."""
+    import numpy as np
+    from webcrawler_spark.operators.cuckoo import (
+        chain_contains_hashed,
+        chain_delete_hashed,
+        chain_insert_hashed,
+        chain_reinsert_missing,
+        cuckoo_new,
+    )
+
+    rng = np.random.default_rng(11)
+    h1 = rng.integers(-(2**62), 2**62, size=3000, dtype=np.int64)
+    h2 = rng.integers(-(2**62), 2**62, size=3000, dtype=np.int64)
+    chain = [cuckoo_new(256)]  # tiny first table: forces real chain growth
+    chain_insert_hashed(chain, h1, h2)
+    assert len(chain) > 1
+
+    # delete a slice of due keys, then simulate the worst case: strip a few
+    # KEPT keys' copies directly (what a fingerprint collision does)
+    due = slice(0, 300)
+    kept1, kept2 = h1[300:], h2[300:]
+    chain_delete_hashed(chain, h1[due], h2[due])
+    chain_delete_hashed(chain, kept1[:5], kept2[:5])  # the collateral strips
+
+    assert not chain_contains_hashed(chain, kept1[:5], kept2[:5]).any()
+    n_fixed = chain_reinsert_missing(chain, kept1, kept2)
+    assert n_fixed >= 5
+    # contract restored: every surviving key answers "maybe" again
+    assert chain_contains_hashed(chain, kept1, kept2).all()

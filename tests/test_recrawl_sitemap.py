@@ -447,3 +447,104 @@ def test_recrawl_job_diff_schedule_and_cuckoo_eviction(spark, tmp_path):
     kept_df = spark.createDataFrame([(u,) for u in sorted(seen_after)], "url string")
     n2, m2_ = cuckoo_prefilter(kept_df, side)
     assert n2.count() == 0
+
+
+@pytest.mark.slow
+def test_resume_after_evict_readmits_due_urls(spark, tmp_path):
+    """The full evict-then-resume loop (ADVICE r4 high): jobs/recrawl.py
+    --evict commits url_seen / cuckoo_sidecar at versions NEWER than the
+    stop snapshot; run_crawl(resume=True) must load those (not the stale
+    stop-version tables) so the due urls are re-admitted — and, with the
+    processor on (_vis = _dup), re-traversed, i.e. actually refetched in
+    the next round's frontier join. With the pre-fix resume (pinned at
+    start_depth) the re-admitted set is empty."""
+    from jobs.recrawl import run as recrawl_run
+    from pyspark.sql import functions as F
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.corpus import generate_corpus
+    from webcrawler_spark.rounds import run_crawl
+    from webcrawler_spark.storage import SnapshotStore
+
+    corpus = generate_corpus(seed=7, n_hosts=6, n_pages=80)
+    pages = spark.createDataFrame(corpus.rows())
+    cfg = CrawlConfig(max_depth=2)
+    entry = corpus.seeds[0]
+
+    def stopped_run(state):
+        polls = {"n": 0}
+
+        def stop():
+            polls["n"] += 1
+            return polls["n"] > 1  # round 0 runs, stop before round 1
+
+        return run_crawl(
+            spark, pages, entry, cfg, store=SnapshotStore(state),
+            seen_filter="cuckoo", stop=stop, with_processor=True,
+        )
+
+    # ---- control: stop → resume, NO eviction; harvest the links each
+    # resumed round actually encounters from the stored round tables
+    state_c = str(tmp_path / "control")
+    assert stopped_run(state_c).stopped
+    store_c = SnapshotStore(state_c)
+    run_crawl(spark, pages, entry, cfg, store=store_c, seen_filter="cuckoo",
+              resume=True, with_processor=True)
+    encountered = set()
+    for d in (1, 2):
+        encountered |= {
+            r.url for r in store_c.read_table(spark, "round", d).collect()
+        }
+
+    # ---- evict run: stop → recrawl --evict → resume
+    state_e = str(tmp_path / "evict")
+    assert stopped_run(state_e).stopped
+    store_e = SnapshotStore(state_e)
+    seen_before = {
+        r.url for r in store_e.read_committed(spark, "url_seen").collect()
+    }
+
+    snap1 = str(tmp_path / "snap1")
+    pages.write.parquet(snap1)
+    recrawl_run(spark, snap1, state_e, now="2025-06-01 00:00:00")
+    all_urls = sorted(corpus.pages)
+    changed = set(all_urls[::3])
+    snap2 = str(tmp_path / "snap2")
+    pages.withColumn(
+        "html",
+        F.when(F.col("url").isin(list(changed)),
+               F.concat(F.col("html"), F.lit(b"<!--rev2-->")))
+        .otherwise(F.col("html")),
+    ).write.parquet(snap2)
+    s2 = recrawl_run(
+        spark, snap2, state_e, now="2025-06-01 02:00:00",
+        horizon_ms=int(1.2 * 3_600_000), evict=True,
+    )
+    assert s2["sidecar"] == "cuckoo_deleted_in_place"
+    evicted = seen_before & changed
+    assert s2["evicted_from_seen"] == len(evicted) > 0
+
+    res = run_crawl(spark, pages, entry, cfg, store=store_e,
+                    seen_filter="cuckoo", resume=True, with_processor=True)
+
+    # re-admitted = evicted urls the resumed rounds re-encountered as links;
+    # they re-enter url_seen with a resumed-round first_depth
+    readmitted = {
+        r.url: r.first_depth
+        for r in res.seen.filter(F.col("first_depth") >= 1).collect()
+        if r.url in evicted
+    }
+    expected = evicted & encountered
+    assert expected, "corpus must re-encounter some due urls after round 0"
+    assert set(readmitted) == expected
+
+    # refetch evidence: a url re-admitted at round 1 is re-traversed
+    # (_vis == 0 in the stored round table), so it sits in round 2's fetch
+    # frontier by construction of the frontier join
+    r1 = {
+        r.url: r._vis
+        for r in store_e.read_table(spark, "round", 1).collect()
+        if r.url in evicted
+    }
+    for u, d in readmitted.items():
+        if d == 1:
+            assert r1[u] == 0

@@ -46,7 +46,22 @@ Deletion contract (standard cuckoo-filter caveat, stated honestly): only
 delete keys that were inserted. Deleting removes ONE copy of the
 fingerprint from the key's buckets; deleting a never-inserted key can strip
 a colliding key's fingerprint (a false negative). The crawl only deletes
-from ``url_seen`` rows, which satisfies the contract by construction.
+from ``url_seen`` rows, which satisfies the contract by construction —
+and for a SINGLE table that is sufficient: n colliding inserted keys store
+n copies, so deleting d of them leaves n-d ≥ the survivors' count. A CHAIN
+weakens this (ADVICE r4): sub-filters have different bucket masks, so the
+oldest→newest probe can remove a collider's copy from an old sub-filter
+while the deleted key's own copy sits in a newer one — the collider's copy
+was its only one VISIBLE AT ITS OWN PROBE POSITIONS, so it goes false
+negative. Probability per delete ≈ the fingerprint-collision rate
+(2·SLOTS/2^16 ≈ 0.012% per resident colliding key, and only when the
+bucket has actually chained). The exact repair exists because the caller
+holds the exact surviving key set: ``cuckoo_sidecar_delete(..., kept=...)``
+re-probes the kept keys of every touched bucket after the deletes and
+re-inserts any stripped fingerprint — restoring no-false-negatives exactly
+(a re-inserted copy can at worst re-create a FALSE POSITIVE for the
+deleted key, which the engine's maybe→exact-anti-join path absorbs).
+jobs/recrawl.py passes ``kept`` on eviction.
 
 Scale shape is identical to the Bloom sidecar: state lives per host_hash
 bucket (co-located with the frontier partitioning), built and maintained by
@@ -200,7 +215,14 @@ def chain_insert_hashed(tables: list, h1: np.ndarray, h2: np.ndarray) -> int:
             grown = cuckoo_new(last.shape[0] * 2)
             tables.append(grown)
             gi1 = int(np.int64(hh1).view(np.uint64) & np.uint64(grown.shape[0] - 1))
-            assert _try_insert(grown, f, gi1)  # fresh table: always fits
+            # NOT an assert: under python -O asserts are stripped and the
+            # fingerprint would silently never be stored — a false negative
+            # violating the sidecar contract (ADVICE r4)
+            if not _try_insert(grown, f, gi1):  # fresh table: always fits
+                raise RuntimeError(
+                    "insert into freshly grown cuckoo sub-filter failed "
+                    f"(m_buckets={grown.shape[0]})"
+                )
     return len(fs)
 
 
@@ -217,7 +239,14 @@ def chain_contains_hashed(tables: list, h1: np.ndarray, h2: np.ndarray) -> np.nd
 
 def chain_delete_hashed(tables: list, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     """Delete ONE stored copy per key, probing sub-filters oldest→newest
-    (insertion order). Returns the per-unique-key deleted mask."""
+    (insertion order). Returns the per-unique-key deleted mask.
+
+    Residual caveat (module docstring, "Deletion contract"): in a chain the
+    removed copy can belong to a fingerprint-colliding key resident in a
+    DIFFERENT sub-filter, leaving that key false-negative. Callers holding
+    the exact surviving key set should repair with
+    :func:`chain_reinsert_missing` (``cuckoo_sidecar_delete(kept=...)``
+    does)."""
     mul = int(_FP_MUL)
     u1, u2 = _dedup_sort(h1, h2)
     fs = _fingerprints(u2)
@@ -238,6 +267,23 @@ def chain_delete_hashed(tables: list, h1: np.ndarray, h2: np.ndarray) -> np.ndar
             if done:
                 break
     return out
+
+
+def chain_reinsert_missing(tables: list, h1: np.ndarray, h2: np.ndarray) -> int:
+    """Repair pass after :func:`chain_delete_hashed`: probe the chain for
+    every SURVIVING key and re-insert the ones a colliding delete stripped
+    (module docstring, "Deletion contract"). Vectorized probe over the full
+    kept set, Python-loop insert over only the (rare) missing ones; returns
+    the number re-inserted. Deterministic: missing keys re-insert in the
+    same sorted (h1, h2) order as every other insert path."""
+    if not len(h1):
+        return 0
+    u1, u2 = _dedup_sort(h1, h2)
+    present = chain_contains_hashed(tables, u1, u2)
+    missing = ~present
+    if not missing.any():
+        return 0
+    return chain_insert_hashed(tables, u1[missing], u2[missing])
 
 
 def cuckoo_maybe_contains_hashed(
@@ -436,11 +482,58 @@ def cuckoo_sidecar_delete(
     n_buckets: int = 64,
     url_col: str = "url",
     host_hash_col: str = "host_hash",
+    kept: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Evict keys (recrawl eligibility): remove one fingerprint copy per
-    deleted URL. Callers pass rows FROM url_seen (the deletion contract)."""
+    deleted URL. Callers pass rows FROM url_seen (the deletion contract).
+
+    ``kept`` — the exact SURVIVING seen rows (url_seen minus deletions) —
+    enables the chain-collision repair (module docstring, "Deletion
+    contract"): after the deletes, every touched bucket re-probes its kept
+    keys and re-inserts any fingerprint a colliding delete stripped,
+    restoring the no-false-negative contract exactly. Cost is a vectorized
+    probe over the touched buckets' kept keys only (untouched buckets never
+    enter the cogroup's kept side). Without ``kept`` the raw delete runs
+    with the documented ~0.012%-per-collision residual."""
     keys = _hashed_keys(deletions, n_buckets, url_col, host_hash_col)
-    return _apply_per_bucket(sidecar, keys, "delete", 0)
+    if kept is None:
+        return _apply_per_bucket(sidecar, keys, "delete", 0)
+
+    touched = keys.select("bucket").distinct()  # ≤ n_buckets rows
+    kept_keys = _hashed_keys(kept, n_buckets, url_col, host_hash_col).join(
+        touched, "bucket", "left_semi"
+    )
+    dels = keys.withColumn("_op", F.lit(0))
+    verify = kept_keys.withColumn("_op", F.lit(1))
+    cols = ["bucket", "m_buckets", "tables", "n_keys"]
+
+    def fold(key, side_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+        if keys_pdf.empty:
+            return side_pdf[cols] if not side_pdf.empty else pd.DataFrame(columns=cols)
+        if side_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        bucket = int(key[0])
+        row = side_pdf.iloc[0]
+        m = int(row["m_buckets"])
+        chain = _chain_from_bytes(row["tables"])
+        n = int(row["n_keys"])
+        d = keys_pdf[keys_pdf["_op"] == 0]
+        k = keys_pdf[keys_pdf["_op"] == 1]
+        n -= int(
+            chain_delete_hashed(
+                chain, d["_h1"].to_numpy(np.int64), d["_h2"].to_numpy(np.int64)
+            ).sum()
+        )
+        n += chain_reinsert_missing(
+            chain, k["_h1"].to_numpy(np.int64), k["_h2"].to_numpy(np.int64)
+        )
+        return pd.DataFrame([(bucket, m, _chain_to_bytes(chain), n)], columns=cols)
+
+    return (
+        sidecar.groupBy("bucket")
+        .cogroup(dels.unionByName(verify).groupBy("bucket"))
+        .applyInPandas(fold, CUCKOO_SCHEMA)
+    )
 
 
 def cuckoo_prefilter(

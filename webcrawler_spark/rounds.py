@@ -549,7 +549,14 @@ def run_crawl(
             # pick the crawl back up at the committed round boundary: every
             # table below was written atomically by the stop path
             start_depth = int(m.meta["stopped_next_depth"])
-            seen = store.read_table(spark, "url_seen", start_depth)
+            # read url_seen at its MANIFEST version, not at start_depth:
+            # jobs/recrawl.py --evict commits an evicted url_seen at a LATER
+            # version than the stop snapshot, and resuming from the stale
+            # pre-eviction table would silently never re-admit due urls
+            # (ADVICE r4)
+            seen = store.read_table(
+                spark, "url_seen", int(m.tables.get("url_seen", start_depth))
+            )
             traverse = store.read_table(spark, "frontier", start_depth)
             visited = store.read_table(spark, "visited", start_depth)
             queue_size = int(m.meta["queue_size"])
@@ -565,12 +572,16 @@ def run_crawl(
                     spark, "lineage_ckpt", start_depth
                 ).collect()
             ]
-            if _sf is not None and m.tables.get(f"{_sf.kind}_sidecar") == start_depth:
+            _sv = m.tables.get(f"{_sf.kind}_sidecar") if _sf is not None else None
+            if _sv is not None and int(_sv) >= start_depth:
                 # the stop path persisted the sidecar — load it instead of
                 # the O(|seen|) rebuild (at 10^10 seen URLs the rebuild is a
-                # full table pass before round 1); a legacy snapshot without
-                # the table falls through to the rebuild below
-                sidecar = store.read_table(spark, f"{_sf.kind}_sidecar", start_depth)
+                # full table pass before round 1). The manifest version may be
+                # NEWER than start_depth: jobs/recrawl.py --evict deletes due
+                # fingerprints in place and commits the sidecar at version+1
+                # (ADVICE r4). A legacy snapshot without the table, or one
+                # older than the stop point, falls through to the rebuild.
+                sidecar = store.read_table(spark, f"{_sf.kind}_sidecar", int(_sv))
 
     if _sf is not None and sidecar is None:
         sidecar = _sf.build(seen).localCheckpoint(eager=True)
