@@ -91,6 +91,20 @@ def norm_cell(v):
     return str(v)
 
 
+def nested_output_columns(schema) -> dict:
+    """Driver-contract lint (VERDICT r4 missing #2): the driver's
+    canonicalizer pandas-sorts output cells and cannot hash array/map/struct
+    values — any such column burns a correctness-window slot with a harness
+    TypeError. Returns {column: kind} for every offending column of an
+    Arrow schema; queries must serialize (array_join / to_json) instead."""
+    return {
+        f.name: arrow_kind(f.type)
+        for f in schema
+        if arrow_kind(f.type).startswith(("list", "struct"))
+        or str(f.type).startswith("map")
+    }
+
+
 def table_cells(tbl):
     """Arrow table -> list of row tuples of Python objects (type-preserving)."""
     cols = [c.to_pylist() for c in tbl.columns]
@@ -132,6 +146,14 @@ def main() -> int:
         spark_s = time.monotonic() - t0
         s_cols = s_tbl.column_names
         s_rows = table_cells(s_tbl)
+        nested = nested_output_columns(s_tbl.schema)
+        if nested:
+            print(
+                f"FAIL {name}: driver-unhashable output columns {nested} — "
+                "project arrays/structs to strings"
+            )
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(s_rows)} rows, {spark_s:.1f}s)")
             if len(s_rows) == 0:
