@@ -180,6 +180,17 @@ def main() -> int:
     ap.add_argument("--max-depth", type=int, default=2)
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument(
+        "--seen-filter", choices=["bloom", "cuckoo"], default=None,
+        help="seen-set sidecar strategy forwarded to jobs/crawl.py "
+        "(default: exact anti-join only)",
+    )
+    ap.add_argument(
+        "--only-cores", type=int, default=None,
+        help="run a single pinned leg at this core count (skip the low/high "
+        "protocol and the ceiling probes) — for strategy comparisons at the "
+        "committed scale",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -202,6 +213,37 @@ def main() -> int:
         os.path.join(tmp, "engine"), "zip", root_dir=REPO, base_dir="webcrawler_spark"
     )
     extra = ["--use-bloom"] if args.use_bloom else []
+    if args.seen_filter:
+        extra += ["--seen-filter", args.seen_filter]
+
+    if args.only_cores is not None:
+        best_s: dict = {}
+        walls_1 = []
+        for _ in range(args.repeat):
+            s = run_one(args.only_cores, pages, args.entry, args.max_depth,
+                        zip_path, extra)
+            walls_1.append(s["wall_sec"])
+            if not best_s or s["wall_sec"] < best_s["wall_sec"]:
+                best_s = s
+        processed = best_s["urls_enqueued"] + best_s["urls_deduped"]
+        best_s["throughput_urls_per_sec"] = round(processed / best_s["wall_sec"], 2)
+        best_s["throughput_per_core"] = round(
+            processed / best_s["wall_sec"] / args.only_cores, 2
+        )
+        best_s["wall_samples_sec"] = walls_1
+        out = {
+            "metric": "urls_fetched+deduped_per_sec",
+            "corpus": pages,
+            "max_depth": args.max_depth,
+            "seen_filter": args.seen_filter or "exact",
+            f"local[{args.only_cores}]": best_s,
+        }
+        print(json.dumps(out))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=2)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return 0
 
     # Interleave the two levels (N, 4N, N, 4N, ...) and keep the best run per
     # level: this host's CPU throughput swings ~1.5x on multi-minute
@@ -248,6 +290,7 @@ def main() -> int:
         "metric": "urls_fetched+deduped_per_sec",
         "corpus": pages,
         "max_depth": args.max_depth,
+        "seen_filter": args.seen_filter or ("bloom" if args.use_bloom else "exact"),
         "low": lo,
         "high": hi,
         "scale_factor": factor,

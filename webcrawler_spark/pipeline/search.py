@@ -390,10 +390,7 @@ def snippets(
     # [p_i, p_i + frag_len) are a CONSECUTIVE run starting at index i, and a
     # frag_len-wide window holds at most frag_len distinct positions — the
     # count only ever needs indices i..i+frag_len-1: O(m·frag_len), anchor
-    # choice and tie-break bit-identical to the full filter. Probed via
-    # O(1) element_at, NOT F.slice(arr, i, L): interpreted Slice with a
-    # non-literal start re-materializes the whole array per anchor
-    # (measured 65 s/row on the 10⁴-hit doc vs 0.2 s this way).
+    # choice and tie-break bit-identical to the full filter.
     def span_hits(i):
         p = F.element_at(F.col("_mpos"), i)
         return F.size(
