@@ -209,3 +209,26 @@ def test_cuckoo_chain_delete_keeps_other_keys(pairs):
     assert deleted.all()
     if len(uniq) > half:
         assert chain_contains_hashed(chain, h1[half:], h2[half:]).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(_hash_pairs)
+def test_cuckoo_chain_delete_with_repair_restores_survivors(pairs):
+    """The delete + kept-repair pair (cuckoo_sidecar_delete(kept=...)):
+    after deleting any subset and running chain_reinsert_missing over the
+    survivors, every survivor answers maybe=True — for ANY key set and a
+    tiny first table (forced chaining), i.e. including the cross-sub-filter
+    fingerprint-collision case the raw delete cannot guarantee (ADVICE r4)."""
+    from webcrawler_spark.operators.cuckoo import chain_reinsert_missing
+
+    uniq = sorted(set(pairs))
+    h1, h2 = _np(uniq)
+    chain = [cuckoo_new(16)]
+    chain_insert_hashed(chain, h1, h2)
+    half = len(uniq) // 2
+    chain_delete_hashed(chain, h1[:half], h2[:half])
+    n = chain_reinsert_missing(chain, h1[half:], h2[half:])
+    if len(uniq) > half:
+        assert chain_contains_hashed(chain, h1[half:], h2[half:]).all()
+    else:
+        assert n == 0
