@@ -330,6 +330,7 @@ def test_search_topk_snippets_endpoint(spark, corpus_df):
     assert all(r.snippet and "<em>" in r.snippet for r in rows)
 
 
+@pytest.mark.slow
 def test_snippets_spam_doc_bounded_and_exact(spark):
     """VERDICT r4 wrong #2: the best-fragment anchor scan must stay
     O(m·frag_len), not O(m²), in query-term occurrences — and stay
